@@ -1,0 +1,13 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax imports.
+
+Real-TPU benchmarking happens via bench.py; unit/integration tests run on
+a virtual multi-device CPU platform so sharding paths are exercised
+without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
