@@ -14,6 +14,7 @@ with infinity = (0:1:0).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -45,6 +46,39 @@ class WeierstrassCurve:
         self.A = field.to_mont([a])[0]
         self.B3 = field.to_mont([3 * b % field.modulus])[0]
         self.gx_int, self.gy_int = gx, gy
+
+    # -- cached jitted entry points -------------------------------------
+    # Orchestration-level code (nn layers, BSGS, protocol drivers) calls
+    # these so each (op, shape) pair compiles exactly once per process and
+    # hits the persistent compilation cache across runs.
+
+    @functools.cached_property
+    def jadd(self):
+        return jax.jit(self.add)
+
+    @functools.cached_property
+    def jneg(self):
+        return jax.jit(self.neg)
+
+    @functools.cached_property
+    def jeq(self):
+        return jax.jit(self.eq)
+
+    @functools.cached_property
+    def jselect(self):
+        return jax.jit(self.select)
+
+    @functools.cached_property
+    def jto_affine(self):
+        return jax.jit(self.to_affine)
+
+    @functools.cached_property
+    def jscalar_mul_bits(self):
+        return jax.jit(self.scalar_mul_bits)
+
+    @functools.cached_property
+    def jsum_points(self):
+        return jax.jit(self.sum_points, static_argnames=("axis",))
 
     # -- constructors ---------------------------------------------------
 
@@ -91,45 +125,49 @@ class WeierstrassCurve:
 
     # -- core group law -------------------------------------------------
 
+    def _mulmany(self, xs, ys):
+        """One wide field-mul over a stacked leading axis; keeps the HLO
+        graph small (compile time) and the VPU lanes full (runtime)."""
+        shape = jnp.broadcast_shapes(*(x.shape for x in xs), *(y.shape for y in ys))
+        s = self.F.mul(jnp.stack([jnp.broadcast_to(x, shape) for x in xs], 0),
+                       jnp.stack([jnp.broadcast_to(y, shape) for y in ys], 0))
+        return [s[i] for i in range(len(xs))]
+
     def add(self, P: PointW, Q: PointW) -> PointW:
-        """Complete projective addition (RCB15 Alg. 1, general a).
-        12M + 5 constant-muls; valid for every input pair."""
+        """Complete projective addition (RCB15 Alg. 1, general a); valid
+        for every input pair.  The 12 generic + 5 constant multiplications
+        are packed into 4 stacked field-muls by dependency stage."""
         F = self.F
-        X1, Y1, Z1 = P
-        X2, Y2, Z2 = Q
+        shape = jnp.broadcast_shapes(P.x.shape, Q.x.shape)
+        X1, Y1, Z1 = (jnp.broadcast_to(v, shape) for v in P)
+        X2, Y2, Z2 = (jnp.broadcast_to(v, shape) for v in Q)
         a, b3 = self.A, self.B3
 
-        t0 = F.mul(X1, X2)
-        t1 = F.mul(Y1, Y2)
-        t2 = F.mul(Z1, Z2)
-        t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
-        t3 = F.sub(t3, F.add(t0, t1))                       # X1Y2 + X2Y1
-        t4 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
-        t4 = F.sub(t4, F.add(t0, t2))                       # X1Z2 + X2Z1
-        t5 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
-        t5 = F.sub(t5, F.add(t1, t2))                       # Y1Z2 + Y2Z1
-        Z3 = F.mul(a, t4)
-        X3 = F.mul(b3, t2)
-        Z3 = F.add(X3, Z3)                                  # b3*Z1Z2 + a*(X1Z2+X2Z1)
-        X3 = F.sub(t1, Z3)
-        Z3 = F.add(t1, Z3)
-        Y3 = F.mul(X3, Z3)
-        t1 = F.add(t0, t0)
-        t1 = F.add(t1, t0)                                  # 3*X1X2
-        t2 = F.mul(a, t2)                                   # a*Z1Z2
-        t4 = F.mul(b3, t4)                                  # b3*(X1Z2+X2Z1)
-        t1 = F.add(t1, t2)                                  # 3X1X2 + aZ1Z2
-        t2 = F.sub(t0, t2)                                  # X1X2 - aZ1Z2
-        t2 = F.mul(a, t2)
-        t4 = F.add(t4, t2)
-        t0 = F.mul(t1, t4)
-        Y3 = F.add(Y3, t0)
-        t0 = F.mul(t5, t4)
-        X3 = F.mul(X3, t3)
-        X3 = F.sub(X3, t0)
-        t0 = F.mul(t3, t1)
-        Z3 = F.mul(t5, Z3)
-        Z3 = F.add(Z3, t0)
+        # stage 0: operand sums (one stacked add)
+        sa = F.add(jnp.stack([X1, X2, X1, X2, Y1, Y2]),
+                   jnp.stack([Y1, Y2, Z1, Z2, Z1, Z2]))
+        # stage 1: 6 products
+        t0, t1, t2, sxy, sxz, syz = self._mulmany(
+            [X1, Y1, Z1, sa[0], sa[2], sa[4]],
+            [X2, Y2, Z2, sa[1], sa[3], sa[5]])
+        t3 = F.sub(sxy, F.add(t0, t1))                 # X1Y2 + X2Y1
+        t4 = F.sub(sxz, F.add(t0, t2))                 # X1Z2 + X2Z1
+        t5 = F.sub(syz, F.add(t1, t2))                 # Y1Z2 + Y2Z1
+        # stage 2: constant products
+        at4, b3t2, at2, b3t4 = self._mulmany([a, b3, a, b3], [t4, t2, t2, t4])
+        W = F.add(b3t2, at4)                           # b3*Z1Z2 + a*(X1Z2+X2Z1)
+        U = F.sub(t1, W)
+        V = F.add(t1, W)
+        M = F.add(F.add(F.add(t0, t0), t0), at2)       # 3*X1X2 + a*Z1Z2
+        # stage 3
+        y3a, at0mat2 = self._mulmany([U, a], [V, F.sub(t0, at2)])
+        S = F.add(b3t4, at0mat2)                       # a(X1X2-aZ1Z2) + b3(X1Z2+X2Z1)
+        # stage 4
+        MS, t5S, Ut3, t3M, t5V = self._mulmany(
+            [M, t5, U, t3, t5], [S, S, t3, M, V])
+        X3 = F.sub(Ut3, t5S)
+        Y3 = F.add(y3a, MS)
+        Z3 = F.add(t5V, t3M)
         return PointW(X3, Y3, Z3)
 
     def double(self, P: PointW) -> PointW:
@@ -211,24 +249,31 @@ class WeierstrassCurve:
     # -- reductions -----------------------------------------------------
 
     def sum_points(self, P: PointW, axis: int = 0) -> PointW:
-        """Tree-reduce point sum along a batch axis (log2(n) batched adds)."""
-        if axis < 0:
-            axis += P.x.ndim - 1
-        n = P.x.shape[axis]
-        # pad to a power of two with infinity
-        m = 1
-        while m < n:
-            m *= 2
-        if m != n:
-            pad = self.infinity(P.x.shape[:axis] + (m - n,) + P.x.shape[axis + 1:-1])
-            P = PointW(*(jnp.concatenate([p, q], axis=axis) for p, q in zip(P, pad)))
-        while m > 1:
-            half = m // 2
-            lo = PointW(*(jax.lax.slice_in_dim(t, 0, half, axis=axis) for t in P))
-            hi = PointW(*(jax.lax.slice_in_dim(t, half, m, axis=axis) for t in P))
-            P = self.add(lo, hi)
-            m = half
-        return PointW(*(jnp.squeeze(t, axis=axis) for t in P))
+        """Log-depth point sum along a batch axis.
+
+        Shift-and-add reduction with a *fixed* array shape per level (the
+        shift is a traced dynamic_slice into an infinity-padded copy), so
+        the whole reduction is one small lax.scan body instead of
+        log2(n) distinct inlined tree levels — tiny HLO graph, and the
+        same pattern shards cleanly under pjit."""
+        if axis != 0:
+            P = PointW(*(jnp.moveaxis(t, axis, 0) for t in P))
+        n = P.x.shape[0]
+        if n == 1:
+            return PointW(*(t[0] for t in P))
+        levels = int(np.ceil(np.log2(n)))
+        pad = self.infinity((n,) + P.x.shape[1:-1])
+        strides = jnp.asarray([1 << t for t in range(levels)], jnp.int32)
+
+        def body(acc, stride):
+            padded = PointW(*(jnp.concatenate([t, q], axis=0)
+                              for t, q in zip(acc, pad)))
+            shifted = PointW(*(jax.lax.dynamic_slice_in_dim(t, stride, n, axis=0)
+                               for t in padded))
+            return self.add(acc, shifted), None
+
+        acc, _ = jax.lax.scan(body, P, strides)
+        return PointW(*(t[0] for t in acc))
 
 
 def scalars_to_bits(scalars, n_bits: int) -> np.ndarray:

@@ -9,19 +9,21 @@ TPU-native replacement for the reference's CPU bignum stacks:
 Design (TPU-first, not a port):
   * A field element is 16 little-endian limbs of 16 bits each, held in a
     uint32 array of shape (..., 16).  16-bit limbs make every partial
-    product fit a uint32 lane (no u64/u128 needed — TPUs have no native
-    64-bit integer multiply), so all hot loops are pure VPU element-wise
-    ops over the batch axes.
+    product fit a uint32 lane (TPUs have no native 64-bit multiply), so
+    all hot loops are pure VPU element-wise ops over the batch axes.
   * Elements are kept in Montgomery form (R = 2^256) on device.
   * Montgomery multiplication uses the *separated big-multiply* form
       m = (a*b mod R) * N' mod R;  res = (a*b + m*N) / R
-    instead of the CIOS per-limb recurrence: three limb convolutions plus
-    a handful of carry scans.  Convolutions are embarrassingly parallel
-    across the batch; carry scans are short unrolled chains of vector ops.
+    three limb convolutions realized as batched outer products + a
+    "skew reshape" anti-diagonal reduction — no per-limb recurrences.
+  * Carry propagation is log-depth: one provisional pass plus a
+    (generate, propagate) carry-lookahead via lax.associative_scan.
+    No sequential chains, no while loops; graphs stay tiny, so both XLA
+    compile time and TPU runtime behave.
   * Everything is shaped so jit/vmap/shard_map can map batches over a
     device mesh; no data-dependent control flow anywhere.
 
-Both needed moduli are instantiated at the bottom:
+Instantiated moduli:
   FQ : l = 2^252 + 27742317777372353535851937790883648493
        (= curve25519 group order; base field of curve E2 *and* the
         Spartan/ristretto255 scalar field — the coincidence the whole
@@ -57,17 +59,70 @@ def limbs_to_int(limbs) -> int:
     return sum(int(limbs[i]) << (LIMB_BITS * i) for i in range(limbs.shape[-1]))
 
 
-def _propagate(acc, n_out, carry_in=None):
-    """Carry-propagate a 'relaxed' limb array (uint32 values < 2^26) into
-    strict base-2^16 digits.  Returns (strict (..., n_out) array, carry)."""
-    c = carry_in if carry_in is not None else jnp.zeros(acc.shape[:-1], jnp.uint32)
-    outs = []
-    n_in = acc.shape[-1]
-    for k in range(n_out):
-        v = (acc[..., k] if k < n_in else jnp.zeros_like(c)) + c
-        outs.append(v & LIMB_MASK)
-        c = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1), c
+# ----------------------------------------------------------------------
+# log-depth carry machinery
+# ----------------------------------------------------------------------
+
+def _carry_lookahead(s):
+    """Resolve a limb vector with boolean carries: s (..., K) uint32 with
+    every entry < 2^17.  Returns (strict digits, final carry in {0,1}).
+
+    Hand-rolled Kogge-Stone prefix over the (generate, propagate) monoid —
+    log2(K) shift/or/and levels, far fewer HLO ops than associative_scan."""
+    K = s.shape[-1]
+    d = s & LIMB_MASK
+    G = (s >> LIMB_BITS).astype(jnp.uint32)            # carry generated (0/1)
+    P = (d == LIMB_MASK).astype(jnp.uint32)            # carry propagates
+    dshift = 1
+    while dshift < K:
+        z = jnp.zeros(s.shape[:-1] + (dshift,), jnp.uint32)
+        Gs = jnp.concatenate([z, G[..., :-dshift]], axis=-1)
+        Ps = jnp.concatenate([z, P[..., :-dshift]], axis=-1)
+        G = G | (P & Gs)
+        P = P & Ps
+        dshift *= 2
+    carry_in = jnp.concatenate(
+        [jnp.zeros_like(G[..., :1]), G[..., :-1]], axis=-1)
+    out = (d + carry_in) & LIMB_MASK
+    return out, G[..., -1]
+
+
+def _resolve(acc, carry_in=None):
+    """Full carry resolution of a relaxed limb vector (entries < 2^26).
+    Returns (strict digits (..., K), final carry)."""
+    d = acc & LIMB_MASK
+    c = acc >> LIMB_BITS                               # multi-bit carries
+    if carry_in is not None:
+        d = d.at[..., 0].add(carry_in)
+    s = d.at[..., 1:].add(c[..., :-1])                 # still < 2^17 per limb
+    out, fc = _carry_lookahead(s)
+    return out, fc + c[..., -1]
+
+
+def _skew_sum(t, n_rows, n_cols):
+    """Anti-diagonal sums: t (..., n, m) -> (..., n+m-1) where
+    out[k] = sum_{i+j=k} t[i, j], via the pad-flatten-reshape skew trick
+    (one pad + reshape + reduce; no gathers)."""
+    batch = t.shape[:-2]
+    w = n_rows + n_cols - 1
+    pad = jnp.zeros(batch + (n_rows, w + 1 - n_cols), t.dtype)
+    flat = jnp.concatenate([t, pad], axis=-1).reshape(batch + (n_rows * (w + 1),))
+    skew = flat[..., : n_rows * w].reshape(batch + (n_rows, w))
+    return skew.sum(axis=-2)
+
+
+def _mul_limbs(a, b, out_limbs=2 * N_LIMBS):
+    """Relaxed schoolbook product of two strict limb vectors.
+    Returns (..., out_limbs) uint32 with entries < 2^21."""
+    prod = a[..., :, None] * b[..., None, :]           # (..., 16, 16) < 2^32
+    lo = prod & LIMB_MASK
+    hi = prod >> LIMB_BITS
+    s_lo = _skew_sum(lo, N_LIMBS, N_LIMBS)             # (..., 31)
+    s_hi = _skew_sum(hi, N_LIMBS, N_LIMBS)
+    out = jnp.zeros(prod.shape[:-2] + (2 * N_LIMBS,), jnp.uint32)
+    out = out.at[..., :31].add(s_lo)
+    out = out.at[..., 1:32].add(s_hi)
+    return out[..., :out_limbs]
 
 
 class PrimeField:
@@ -81,41 +136,50 @@ class PrimeField:
         self.R = R % modulus
         self.R2 = (self.R * self.R) % modulus
         self.R3 = (self.R2 * self.R) % modulus
-        # N' = -N^{-1} mod 2^256
-        self.nprime_int = (-pow(modulus, -1, R)) % R
-        # device constants
+        self.nprime_int = (-pow(modulus, -1, R)) % R   # -N^{-1} mod 2^256
         self.N_dev = jnp.asarray(int_to_limbs(modulus))
         self.NPRIME_dev = jnp.asarray(int_to_limbs(self.nprime_int))
-        # 2^256 - N, for the conditional-subtract-by-complement-add trick
         self.NCOMP_dev = jnp.asarray(int_to_limbs(R - modulus))
-        self.R_dev = jnp.asarray(int_to_limbs(self.R))          # one, Montgomery form
+        self.R_dev = jnp.asarray(int_to_limbs(self.R))  # == one, Montgomery form
         self.R2_dev = jnp.asarray(int_to_limbs(self.R2))
-        self.ZERO_dev = jnp.zeros((N_LIMBS,), jnp.uint32)
-        # inversion exponent (Fermat), MSB-first bit list (static)
-        self._inv_exp_bits = [int(b) for b in bin(modulus - 2)[2:]]
+        self._inv_exp_bits = tuple(int(b) for b in bin(modulus - 2)[2:])
 
     # ------------------------------------------------------------------
     # host <-> device conversion
     # ------------------------------------------------------------------
 
-    def to_mont(self, ints) -> jnp.ndarray:
-        """Host ints (any nesting) -> device array in Montgomery form."""
+    def to_limb_array(self, ints) -> np.ndarray:
+        """Host ints -> plain (non-Montgomery) limb array, vectorized."""
         arr = np.asarray(ints, dtype=object)
         flat = arr.reshape(-1)
+        vals = np.array([int(v) % self.modulus for v in flat], dtype=object)
         out = np.zeros((flat.shape[0], N_LIMBS), dtype=np.uint32)
-        for i, v in enumerate(flat):
-            out[i] = int_to_limbs((int(v) % self.modulus) * self.R % self.modulus)
-        return jnp.asarray(out.reshape(arr.shape + (N_LIMBS,)))
+        for i in range(N_LIMBS):
+            out[:, i] = ((vals >> (LIMB_BITS * i)) & LIMB_MASK).astype(np.uint32)
+        return out.reshape(arr.shape + (N_LIMBS,))
+
+    def to_mont(self, ints) -> jnp.ndarray:
+        """Host ints (any nesting) -> device array in Montgomery form."""
+        plain = jnp.asarray(self.to_limb_array(ints))
+        return self._to_mont_jit(plain)
+
+    @functools.cached_property
+    def _to_mont_jit(self):
+        return jax.jit(lambda x: self.mul(x, jnp.broadcast_to(self.R2_dev, x.shape)))
+
+    @functools.cached_property
+    def _from_mont_jit(self):
+        one_plain = jnp.asarray(int_to_limbs(1))
+        return jax.jit(lambda x: self.mul(x, jnp.broadcast_to(one_plain, x.shape)))
 
     def from_mont(self, limbs) -> np.ndarray:
         """Device Montgomery-form array -> numpy object array of ints."""
-        arr = np.asarray(limbs)
-        flat = arr.reshape(-1, N_LIMBS)
-        rinv = pow(self.R, -1, self.modulus)
-        out = np.empty((flat.shape[0],), dtype=object)
-        for i in range(flat.shape[0]):
-            out[i] = limbs_to_int(flat[i]) * rinv % self.modulus
-        return out.reshape(arr.shape[:-1])
+        canon = np.asarray(self._from_mont_jit(jnp.asarray(limbs)))
+        flat = canon.reshape(-1, N_LIMBS).astype(object)
+        acc = np.zeros((flat.shape[0],), dtype=object)
+        for i in range(N_LIMBS):
+            acc = acc + (flat[:, i] << (LIMB_BITS * i))
+        return acc.reshape(canon.shape[:-1])
 
     def zeros(self, shape=()):
         return jnp.zeros(tuple(shape) + (N_LIMBS,), jnp.uint32)
@@ -124,76 +188,48 @@ class PrimeField:
         return jnp.broadcast_to(self.R_dev, tuple(shape) + (N_LIMBS,))
 
     # ------------------------------------------------------------------
-    # batched device ops: all take/return uint32 (..., 16) strict limbs
+    # batched device ops: uint32 (..., 16) strict limbs, Montgomery form
     # ------------------------------------------------------------------
 
     def _cond_sub_n(self, s):
-        """Reduce s in [0, 2N) to [0, N): add (2^256 - N); keep if carry out."""
-        t = s + self.NCOMP_dev
-        t, carry = _propagate(t, N_LIMBS)
-        borrow = (carry > 0)[..., None]
-        return jnp.where(borrow, t, s)
+        """Reduce s in [0, 2N) to [0, N): add 2^256 - N; keep if carry out."""
+        t, carry = _carry_lookahead(s + self.NCOMP_dev)
+        return jnp.where((carry > 0)[..., None], t, s)
 
     def add(self, a, b):
-        s, _ = _propagate(a + b, N_LIMBS)
+        s, _ = _carry_lookahead(a + b)
         return self._cond_sub_n(s)
 
     def sub(self, a, b):
-        # a + N + (2^256 - b) == a + N - b (mod 2^256); since a-b+N lies in
-        # (0, 2N) and 2N < 2^256, dropping the final carry gives a+N-b exactly.
-        outs = []
-        c = jnp.ones(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), jnp.uint32)
-        for k in range(N_LIMBS):
-            v = a[..., k] + self.N_dev[k] + (jnp.uint32(LIMB_MASK) - b[..., k]) + c
-            outs.append(v & LIMB_MASK)
-            c = v >> LIMB_BITS
-        s = jnp.stack(outs, axis=-1)
+        # a + N + (2^256 - b) == a - b + N (mod 2^256); the value lies in
+        # (0, 2N) < 2^256, so dropping the final carry is exact.
+        t = a + self.N_dev + (jnp.uint32(LIMB_MASK) - b)
+        t = t.at[..., 0].add(jnp.uint32(1))
+        s, _ = _resolve(t)
         return self._cond_sub_n(s)
 
     def neg(self, a):
         return self.sub(self.zeros(a.shape[:-1]), a)
 
-    @staticmethod
-    def _mul_raw(a, b, n_out=2 * N_LIMBS, trunc=None):
-        """Schoolbook limb convolution with lo/hi split accumulation.
-        Returns relaxed limbs (uint32, each < 2^21)."""
-        k_max = trunc if trunc is not None else n_out
-        acc = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (n_out,),
-                        jnp.uint32)
-        for i in range(N_LIMBS):
-            if i >= k_max:
-                break
-            width = min(N_LIMBS, k_max - i)
-            p = a[..., i:i + 1] * b[..., :width]
-            lo = p & LIMB_MASK
-            hi = p >> LIMB_BITS
-            acc = acc.at[..., i:i + width].add(lo)
-            hw = min(width, k_max - i - 1)
-            if hw > 0:
-                acc = acc.at[..., i + 1:i + 1 + hw].add(hi[..., :hw])
-        return acc
-
     def mul(self, a, b):
-        """Montgomery product: returns mont(a*b) = a*b*R^{-1} mod N."""
-        P = self._mul_raw(a, b)                                   # relaxed, 32 limbs
-        P_lo, c_lo = _propagate(P[..., :N_LIMBS], N_LIMBS)        # strict low half
-        m_rel = self._mul_raw(P_lo, self.NPRIME_dev, n_out=N_LIMBS, trunc=N_LIMBS)
-        m, _ = _propagate(m_rel, N_LIMBS)                         # strict m
-        U = self._mul_raw(m, self.N_dev)                          # relaxed, 32 limbs
-        # low half of (P_lo + U_lo) is == 0 mod 2^256; we need its carry-out
-        _, c1 = _propagate(P_lo + U[..., :N_LIMBS], N_LIMBS)
-        hi = P[..., N_LIMBS:] + U[..., N_LIMBS:]
-        hi = hi.at[..., 0].add(c_lo)
-        s, _ = _propagate(hi, N_LIMBS, carry_in=c1)
-        return self._cond_sub_n(s)
+        """Montgomery product (a*b*R^{-1} mod N), log-depth throughout."""
+        P = _mul_limbs(a, b)                                   # relaxed, 32
+        P_strict, _ = _resolve(P)                              # < N^2 < 2^512
+        m_rel = _mul_limbs(P_strict[..., :N_LIMBS], self.NPRIME_dev,
+                           out_limbs=N_LIMBS)
+        m, _ = _resolve(m_rel)
+        U = _mul_limbs(m, self.N_dev)                          # relaxed, 32
+        S = P_strict + U                                       # < 2^22 per limb
+        S_strict, _ = _resolve(S)
+        # low half is 0 mod 2^256 by construction; its carry already flowed
+        # into the high half during _resolve.
+        return self._cond_sub_n(S_strict[..., N_LIMBS:])
 
     def square(self, a):
         return self.mul(a, a)
 
     @functools.lru_cache(maxsize=None)
     def _const_mont(self, k: int):
-        """Cached device constant: mont(k) = k*R mod N, so mul(a, const)
-        yields the plain product k*a in Montgomery form."""
         return jnp.asarray(int_to_limbs((k % self.modulus) * self.R % self.modulus))
 
     def mul_const(self, a, k: int):
@@ -201,7 +237,6 @@ class PrimeField:
         return self.mul(a, jnp.broadcast_to(self._const_mont(k), a.shape))
 
     def select(self, mask, a, b):
-        """mask broadcastable bool (...,) -> where(mask, a, b)."""
         return jnp.where(jnp.asarray(mask)[..., None], a, b)
 
     def is_zero(self, a):
@@ -211,30 +246,25 @@ class PrimeField:
         return jnp.all(a == b, axis=-1)
 
     def pow_bits(self, a, bits):
-        """Fixed-exponent power by MSB-first bit list (host-static).
-
-        Uses lax.scan over the bit string so the compiled graph holds one
-        square + one multiply regardless of exponent size."""
+        """Fixed-exponent power, MSB-first bit tuple (host-static); the
+        lax.scan keeps one square + one mul in the compiled graph."""
         bits_arr = jnp.asarray(list(bits), jnp.uint32)
 
         def body(x, bit):
             x = self.mul(x, x)
             xb = self.mul(x, a)
-            x = self.select(jnp.broadcast_to(bit == 1, x.shape[:-1]), xb, x)
-            return x, None
+            return self.select(jnp.broadcast_to(bit == 1, x.shape[:-1]), xb, x), None
 
-        x0 = self.ones(a.shape[:-1])
-        x, _ = jax.lax.scan(body, x0, bits_arr)
+        x, _ = jax.lax.scan(body, self.ones(a.shape[:-1]), bits_arr)
         return x
 
     def inv(self, a):
-        """Batched inverse via Fermat (a^(N-2)); inv(0) = 0 like dalek."""
+        """Batched inverse via Fermat (a^(N-2)); inv(0) = 0 like dalek.
+        Fermat is fully batch-parallel; Montgomery's trick would serialize
+        over the batch, so Fermat wins on TPU."""
         return self.pow_bits(a, self._inv_exp_bits)
 
-    def batch_inv(self, a):
-        """Inverse of a flat batch. Fermat is fully parallel; Montgomery's
-        trick would serialize over the batch, so Fermat wins on TPU."""
-        return self.inv(a)
+    batch_inv = inv
 
     # ------------------------------------------------------------------
     # host scalar helpers (exact Python ints; used by transcript etc.)

@@ -1,0 +1,95 @@
+"""Exponential ElGamal over curve E2, batched on TPU.
+
+Behavioral parity with the reference (src/convolution/Client.py:19-30
+encrypt; src/cnn_networks/Client.py:215-249 decrypt):
+  Enc(m) = (c1, c2) = (r*G, m*G + r*h),  r random in [1, q-1]
+  Dec    = dlog(c2 - x*c1) via baby-step/giant-step, trying both +M and -M
+           to recover signed messages.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..curve.host_ec import E2_G_HOST, E2_ORDER, HostPoint
+from ..curve.weierstrass import E2, PointW, scalars_to_bits
+from .bsgs import BsgsTable
+
+
+class CipherTensor(NamedTuple):
+    """A batch of ElGamal ciphertexts: two point batches of equal shape."""
+    c1: PointW
+    c2: PointW
+
+    @property
+    def batch_shape(self):
+        return self.c1.x.shape[:-1]
+
+
+@dataclass
+class KeyPair:
+    x: int                 # secret
+    h_host: HostPoint      # public h = x*G
+    h_dev: PointW          # broadcast-ready device copy (shape ())
+
+    @staticmethod
+    def generate(rng: Optional[random.Random] = None) -> "KeyPair":
+        rng = rng or random.Random()
+        x = rng.randrange(1, E2_ORDER - 1)
+        h = x * E2_G_HOST
+        h_dev = PointW(*(c[0] for c in E2.from_affine_host([h])))
+        return KeyPair(x, h, h_dev)
+
+
+def _fixed_base_mul(base: PointW, scalars, n_bits) -> PointW:
+    arr = np.asarray(scalars, dtype=object)
+    shape = arr.shape
+    bits = scalars_to_bits(arr, n_bits)
+    base_b = PointW(*(jnp.broadcast_to(c, shape + (16,)) for c in base))
+    return E2.jscalar_mul_bits(base_b, bits)
+
+
+def encrypt_batch(messages, key: KeyPair,
+                  rng: Optional[random.Random] = None) -> CipherTensor:
+    """Encrypt a host integer array (any shape); negatives handled by
+    point negation so ladders stay short for small messages."""
+    rng = rng or random.Random()
+    arr = np.asarray(messages, dtype=object)
+    flat = [int(v) for v in arr.reshape(-1)]
+    n = len(flat)
+    rs = [rng.randrange(1, E2_ORDER - 1) for _ in range(n)]
+
+    G = E2.generator()
+    c1 = _fixed_base_mul(G, np.asarray(rs, dtype=object).reshape(arr.shape), 253)
+    rh = _fixed_base_mul(key.h_dev, np.asarray(rs, dtype=object).reshape(arr.shape), 253)
+
+    absm = [abs(v) for v in flat]
+    mb = max(1, max((v.bit_length() for v in absm), default=1))
+    mg = _fixed_base_mul(G, np.asarray(absm, dtype=object).reshape(arr.shape), mb)
+    neg = np.asarray([v < 0 for v in flat], dtype=bool).reshape(arr.shape)
+    mg = E2.jselect(jnp.asarray(neg), E2.jneg(mg), mg)
+
+    c2 = E2.jadd(mg, rh)
+    return CipherTensor(c1, c2)
+
+
+def decrypt_batch(ct: CipherTensor, key: KeyPair, table: BsgsTable,
+                  max_steps: Optional[int] = None) -> np.ndarray:
+    """Decrypt to signed host integers via batched BSGS
+    (reference: Client.py decrypt_c1_c2 + giant_step)."""
+    shape = ct.batch_shape
+    flatct = CipherTensor(
+        PointW(*(c.reshape(-1, 16) for c in ct.c1)),
+        PointW(*(c.reshape(-1, 16) for c in ct.c2)),
+    )
+    n = flatct.c1.x.shape[0]
+    xbits = scalars_to_bits([key.x] * n, 253)
+    s = E2.jscalar_mul_bits(flatct.c1, xbits)
+    M = E2.jadd(flatct.c2, E2.jneg(s))      # m*G
+    vals = table.dlog_batch(M, max_steps=max_steps)
+    return np.asarray(vals, dtype=object).reshape(shape)

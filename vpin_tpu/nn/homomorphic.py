@@ -1,0 +1,249 @@
+"""Homomorphic CNN layers over ElGamal ciphertext halves, batched on TPU.
+
+TPU-native redesign of the reference's per-pixel python-ecdsa loops:
+  conv   : src/cnn_networks/Server.py:268-323 (myConv2d, type==1)
+  rLC    : src/cnn_networks/Server.py:151-266 (rLCL/rLCR) — Freivalds check
+  pool   : src/cnn_networks/Server.py:358-429 (myAvgPool2d)
+  FC     : src/cnn_networks/Server.py:439-470 (FCLayer)
+
+Points live as structure-of-arrays PointW batches; sliding windows become
+static gathers; scalar point-mults run as batched branch-free ladders; sums
+become log-depth tree reductions.  Only the protocol-relevant ops are
+recorded into the WitnessTrace, with list ordering identical to the
+reference's global lists so the exported JSON matches byte-for-byte given
+the same keys/inputs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..curve.weierstrass import E2, PointW, scalars_to_bits
+from . import fixed_point
+from .prf import pf_vector
+from .trace import WitnessTrace
+
+
+@jax.jit
+def _prefix_scan_jit(first: PointW, rest: PointW):
+    """Running point sums: returns (final, stacked intermediate sums)."""
+    def body(acc, term):
+        new = E2.add(acc, term)
+        return new, new
+
+    return jax.lax.scan(body, first, rest)
+
+
+def _window_indices(H, W, f, padding, stride):
+    """Static (M, f*f) gather indices into the padded (H+2p)x(W+2p) image.
+    Row-major over output pixels, then row-major over the filter — the same
+    iteration order as the reference's loops."""
+    Hp, Wp = H + 2 * padding, W + 2 * padding
+    OH = (Hp - f) // stride + 1
+    OW = (Wp - f) // stride + 1
+    idx = np.empty((OH * OW, f * f), dtype=np.int32)
+    m = 0
+    for i in range(OH):
+        for j in range(OW):
+            t = 0
+            for ii in range(f):
+                for jj in range(f):
+                    idx[m, t] = (i * stride + ii) * Wp + (j * stride + jj)
+                    t += 1
+            m += 1
+    return idx, OH, OW
+
+
+def _pad_infinity(P: PointW, padding: int) -> PointW:
+    """Surround an (H, W) point image with the identity point
+    (reference pads with identityPoint, Server.py:278)."""
+    if padding == 0:
+        return P
+    H, W = P.batch_shape
+    inf_row = E2.infinity((padding, W + 2 * padding))
+    inf_col = E2.infinity((H, padding))
+    withcols = PointW(*(jnp.concatenate([inf_col[i], P[i], inf_col[i]], axis=1)
+                        for i in range(3)))
+    return PointW(*(jnp.concatenate([inf_row[i], withcols[i], inf_row[i]], axis=0)
+                    for i in range(3)))
+
+
+def _gather(P: PointW, idx) -> PointW:
+    flat = PointW(*(c.reshape(-1, 16) for c in P))
+    return PointW(*(c[idx] for c in flat))
+
+
+def _signed_const_mul(P: PointW, weights: np.ndarray) -> PointW:
+    """[w]P elementwise for a static integer weight array broadcastable to
+    P's batch shape; negative weights via point negation."""
+    w = np.asarray(weights, dtype=object)
+    absw = np.vectorize(lambda v: abs(int(v)), otypes=[object])(w)
+    n_bits = max(1, max(int(v).bit_length() for v in absw.reshape(-1)))
+    bits = scalars_to_bits(absw, n_bits)
+    out = E2.jscalar_mul_bits(P, bits)
+    neg_mask = np.vectorize(lambda v: int(v) < 0, otypes=[bool])(w)
+    if neg_mask.any():
+        out = E2.jselect(jnp.asarray(neg_mask), E2.jneg(out), out)
+    return out
+
+
+class RLCCheckError(AssertionError):
+    pass
+
+
+class HomomorphicEngine:
+    """Server-side encrypted-inference layers with rLC verification.
+
+    Deferred equality checks: each conv/FC queues a device boolean; call
+    flush_checks() to synchronize and assert (mirrors the reference's
+    inline `assert result_left == result_right`, Server.py:321/:468,
+    without forcing a host sync per layer).
+    """
+
+    def __init__(self, trace: Optional[WitnessTrace] = None,
+                 prf_trunc_bytes: int = 14):
+        self.trace = trace if trace is not None else WitnessTrace()
+        self.prf_trunc_bytes = prf_trunc_bytes
+        self.pending_checks = []
+
+    # ------------------------------------------------------------------
+
+    def _prefix_adds(self, terms: PointW):
+        """Sequential running sums acc_t = sum(terms[0..t]) via lax.scan;
+        returns (accs (n,...), final acc (...))."""
+        first = PointW(*(c[0] for c in terms))
+        rest = PointW(*(c[1:] for c in terms))
+
+        final, accs_rest = _prefix_scan_jit(first, rest)
+        accs = PointW(*(jnp.concatenate([c[None], r], axis=0)
+                        for c, r in zip(first, accs_rest)))
+        return accs, final
+
+    def _record_chain(self, terms: PointW):
+        """Record the (n-1) running-sum additions of a term chain, in order;
+        returns the final sum."""
+        accs, final = self._prefix_adds(terms)
+        left = PointW(*(c[:-1] for c in accs))
+        right = PointW(*(c[1:] for c in terms))
+        self.trace.record_adds(left, right)
+        return final
+
+    # ------------------------------------------------------------------
+
+    def conv2d(self, P: PointW, filt: np.ndarray, key: bytes,
+               padding: int = 0, stride: int = 1) -> PointW:
+        """Homomorphic conv of one (H, W) ciphertext half by an integer
+        filter, with the rLC verification emitting f^2 recorded mults and
+        f^2-1 recorded adds (the witness-collapse trick of the paper)."""
+        H, W = P.batch_shape
+        filt = np.asarray(filt)
+        f = filt.shape[0]
+        idx, OH, OW = _window_indices(H, W, f, padding, stride)
+        M, F2 = idx.shape
+
+        win = _gather(_pad_infinity(P, padding), idx)          # (M, f^2)
+        wflat = filt.reshape(-1)
+
+        # unrecorded homomorphic conv output
+        terms = _signed_const_mul(win, wflat[None, :])
+        out = E2.jsum_points(terms, axis=1)                    # (M,)
+
+        # rLC left: sum_m rho_m * out_m
+        rho = pf_vector(key, M, self.prf_trunc_bytes)
+        rho_bits = scalars_to_bits(rho, 8 * self.prf_trunc_bytes)
+        left = E2.jsum_points(E2.jscalar_mul_bits(out, rho_bits), axis=0)
+
+        # rLC right: combine windows first (unrecorded), then f^2 recorded
+        # mults by the plain kernel weights + a recorded add chain.
+        comb_terms = E2.jscalar_mul_bits(win, rho_bits[:, None, :])
+        combined = E2.jsum_points(comb_terms, axis=0)          # (f^2,)
+        temp = _signed_const_mul(combined, wflat)
+        self.trace.record_mults(combined, [int(v) for v in wflat])
+        right = self._record_chain(temp)
+
+        self.pending_checks.append(E2.jeq(left, right))
+        return PointW(*(c.reshape(OH, OW, 16) for c in out))
+
+    def avgpool2d(self, P: PointW, kernel_size: int, stride: int) -> PointW:
+        """Homomorphic average pool: recorded window-sum adds, then an
+        unrecorded mult by fixed_point(1/k^2, 10 bits)
+        (reference: Server.py:358-429)."""
+        H, W = P.batch_shape
+        k = kernel_size
+        idx, OH, OW = _window_indices(H, W, k, 0, stride)
+        win = _gather(P, idx)                                  # (M, k^2)
+        # scan over window elements => transpose window axis to front
+        winT = PointW(*(jnp.swapaxes(c, 0, 1) for c in win))   # (k^2, M)
+        accs, final = self._prefix_adds(winT)
+        # record in pixel-major order: (M, k^2-1)
+        left = PointW(*(jnp.swapaxes(c[:-1], 0, 1) for c in accs))
+        right = PointW(*(jnp.swapaxes(c[1:], 0, 1) for c in winT))
+        self.trace.record_adds(left, right)
+        scale = fixed_point.pool_reciprocal_fixed(k)
+        out = _signed_const_mul(final, np.full((final.x.shape[0],), scale, dtype=object))
+        return PointW(*(c.reshape(OH, OW, 16) for c in out))
+
+    def fc(self, P: PointW, weights: np.ndarray, bias: PointW, key: bytes):
+        """Homomorphic fully-connected layer on a (n_in,) ciphertext half.
+
+        weights: (n_in, n_out) integer matrix; bias: (n_out,) encrypted
+        points.  Records: n_out bias adds, then n_in rLC mults by the
+        rho-combined weight columns (exact integers, reference's Decimal
+        path Server.py:226-250), then n_in-1 rLC adds."""
+        n_in, n_out = weights.shape
+        assert P.x.shape[0] == n_in
+
+        # C[j] = sum_k W[k, j] * P[k]   (unrecorded)
+        Pb = PointW(*(jnp.broadcast_to(c[:, None, :], (n_in, n_out, 16)) for c in P))
+        terms = _signed_const_mul(Pb, weights)
+        C = E2.jsum_points(terms, axis=0)                      # (n_out,)
+
+        # bias adds (recorded)
+        self.trace.record_adds(C, bias)
+        out = E2.jadd(C, bias)
+
+        # rLC left over C
+        rho = pf_vector(key, n_out, self.prf_trunc_bytes)
+        rho_bits = scalars_to_bits(rho, 8 * self.prf_trunc_bytes)
+        left = E2.jsum_points(E2.jscalar_mul_bits(C, rho_bits), axis=0)
+
+        # combined column weights, exact integer arithmetic
+        s = [sum(int(rho[j]) * int(weights[kk, j]) for j in range(n_out))
+             for kk in range(n_in)]
+        for v in s:
+            if v < 0:
+                raise RLCCheckError(
+                    "negative rho-combined FC weight; the reference protocol "
+                    "(u128 witness export) cannot represent this")
+        n_bits = max(1, max(v.bit_length() for v in s))
+        temp = E2.jscalar_mul_bits(P, scalars_to_bits(s, n_bits))
+        self.trace.record_mults(P, s)
+        right = self._record_chain(temp)
+
+        self.pending_checks.append(E2.jeq(left, right))
+        return out
+
+    # ------------------------------------------------------------------
+
+    def flush_checks(self):
+        """Synchronize all queued rLC equality checks; raise on mismatch."""
+        oks = [bool(np.asarray(c)) for c in self.pending_checks]
+        self.pending_checks = []
+        if not all(oks):
+            bad = [i for i, ok in enumerate(oks) if not ok]
+            raise RLCCheckError(f"rLC verification failed for checks {bad}")
+        return True
+
+
+def channel_sum(channels: list) -> PointW:
+    """Elementwise point-sum of a list of (H, W) ciphertext halves
+    (LeNet conv2/conv3 input aggregation, reference LeNet/Server.py:545-551;
+    unrecorded)."""
+    stacked = PointW(*(jnp.stack([c[i] for c in channels], axis=0)
+                       for i in range(3)))
+    return E2.jsum_points(stacked, axis=0)
