@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..field import FQ, PrimeField
 from .host_ec import E2_A, E2_B, E2_P, E2_GX, E2_GY, E2_ORDER, E2_HOST, HostPoint
+from .padded import PaddedOps
 
 
 class PointW(NamedTuple):
@@ -36,7 +37,7 @@ class PointW(NamedTuple):
         return self.x.shape[:-1]
 
 
-class WeierstrassCurve:
+class WeierstrassCurve(PaddedOps):
     """y^2 = x^3 + a x + b over a PrimeField, batched JAX ops."""
 
     def __init__(self, field: PrimeField, a: int, b: int, gx: int, gy: int, order: int):
@@ -86,6 +87,8 @@ class WeierstrassCurve:
         F = self.F
         return PointW(F.zeros(shape), F.ones(shape), F.zeros(shape))
 
+    identity = infinity
+
     def generator(self, shape=()) -> PointW:
         F = self.F
         gx = jnp.broadcast_to(F.to_mont([self.gx_int])[0], tuple(shape) + (16,))
@@ -114,7 +117,7 @@ class WeierstrassCurve:
 
     def to_affine_host(self, P: PointW):
         """Device batch -> numpy object array of HostPoint."""
-        x, y, inf = self.to_affine(P)
+        x, y, inf = self.pto_affine(P)
         xs = self.F.from_mont(x).reshape(-1)
         ys = self.F.from_mont(y).reshape(-1)
         infs = np.asarray(inf).reshape(-1)
@@ -279,14 +282,13 @@ class WeierstrassCurve:
 def scalars_to_bits(scalars, n_bits: int) -> np.ndarray:
     """Host ints (object ndarray / nested lists) -> LSB-first uint32 bits."""
     arr = np.asarray(scalars, dtype=object)
-    flat = arr.reshape(-1)
-    out = np.zeros((flat.shape[0], n_bits), dtype=np.uint32)
-    for i, v in enumerate(flat):
-        v = int(v)
-        assert v >= 0, "negative scalars must be pre-reduced mod group order"
-        for j in range(n_bits):
-            out[i, j] = (v >> j) & 1
-        assert v >> n_bits == 0, "scalar wider than n_bits"
+    v = np.array([int(x) for x in arr.reshape(-1)], dtype=object)
+    assert all(x >= 0 for x in v), "negative scalars must be pre-reduced mod group order"
+    out = np.zeros((v.shape[0], n_bits), dtype=np.uint32)
+    for j in range(n_bits):
+        out[:, j] = (v & 1).astype(np.uint32)
+        v = v >> 1
+    assert all(x == 0 for x in v), "scalar wider than n_bits"
     return out.reshape(arr.shape + (n_bits,))
 
 

@@ -266,6 +266,37 @@ class PrimeField:
 
     batch_inv = inv
 
+    def sum_reduce(self, a, axis: int = 0):
+        """Log-depth field sum along a batch axis (shift-and-add with a
+        fixed shape per level; one tiny lax.scan body)."""
+        if axis != 0:
+            a = jnp.moveaxis(a, axis, 0)
+        n = a.shape[0]
+        if n == 1:
+            return a[0]
+        levels = int(np.ceil(np.log2(n)))
+        pad = self.zeros((n,) + a.shape[1:-1])
+        strides = jnp.asarray([1 << t for t in range(levels)], jnp.int32)
+
+        def body(acc, stride):
+            padded = jnp.concatenate([acc, pad], axis=0)
+            shifted = jax.lax.dynamic_slice_in_dim(padded, stride, n, axis=0)
+            return self.add(acc, shifted), None
+
+        acc, _ = jax.lax.scan(body, a, strides)
+        return acc[0]
+
+    def dot(self, a, b, axis: int = 0):
+        """Field inner product along an axis."""
+        return self.sum_reduce(self.mul(a, b), axis=axis)
+
+    def limbs_to_bits(self, a_plain, n_bits: int = 253):
+        """Plain (non-Montgomery) limb array (..., 16) -> LSB-first bit
+        array (..., n_bits) uint32, on device (feeds scalar-mult ladders)."""
+        shifts = jnp.arange(LIMB_BITS, dtype=jnp.uint32)
+        bits = (a_plain[..., :, None] >> shifts) & 1      # (..., 16, 16)
+        return bits.reshape(a_plain.shape[:-1] + (NUM_BITS,))[..., :n_bits]
+
     # ------------------------------------------------------------------
     # host scalar helpers (exact Python ints; used by transcript etc.)
     # ------------------------------------------------------------------

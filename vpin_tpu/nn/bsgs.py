@@ -63,8 +63,8 @@ class BsgsTable:
                 return BsgsTable(m, data["keys"], data["perm"])
 
         chunk = min(chunk, m)
-        add_j = E2.jadd
-        to_aff = E2.jto_affine
+        add_j = E2.padd
+        to_aff = E2.pto_affine
 
         # seed chunk: j*G for j in [1, chunk] by doubling blocks
         pts = PointW(*(c[None] for c in E2.generator()))       # [1*G]
@@ -124,7 +124,7 @@ class BsgsTable:
         max_steps = max_steps if max_steps is not None else 20_000
         # chains: axis 0 = [+M, -M]
         chains = PointW(*(jnp.stack([c, d], axis=0)
-                          for c, d in zip(M, E2.neg(M))))
+                          for c, d in zip(M, E2.pneg(M))))
 
         # stride candidates: -i*m*G for i in 0..K-1, and the round hop -K*m*G
         K = stride_k
@@ -134,10 +134,9 @@ class BsgsTable:
             [(-(K * self.m)) % E2_ORDER * E2_G_HOST])))
 
         S_b = PointW(*(jnp.broadcast_to(c, (2, n, K, 16)) for c in S))
-        hop_b = PointW(*(jnp.broadcast_to(c, (2, n, 16)) for c in hop))
-        add_cand = lambda g: E2.jadd(PointW(*(c[:, :, None, :] for c in g)), S_b)
-        to_aff = E2.jto_affine
-        hop_add = lambda g: E2.jadd(g, hop_b)
+        add_cand = lambda g: E2.padd(PointW(*(c[:, :, None, :] for c in g)), S_b)
+        to_aff = E2.pto_affine
+        hop_add = lambda g: E2.padd(g, hop)
 
         found_val = np.full((2, n), -1, dtype=np.int64)
         rounds = (max_steps + K - 1) // K
@@ -176,10 +175,10 @@ class BsgsTable:
         nb = max(1, max((v.bit_length() for v in absvals), default=1))
         G = E2.generator()
         Gb = PointW(*(jnp.broadcast_to(c, (n, 16)) for c in G))
-        vg = E2.jscalar_mul_bits(Gb, scalars_to_bits(absvals, nb))
+        vg = E2.pscalar_mul_bits(Gb, scalars_to_bits(absvals, nb))
         signs = np.asarray([v < 0 for v in results], dtype=bool)
-        vg = E2.jselect(jnp.asarray(signs), E2.jneg(vg), vg)
-        ok = np.asarray(E2.jeq(vg, M))
+        vg = E2.pselect(signs, E2.pneg(vg), vg)
+        ok = np.asarray(E2.peq(vg, M))
         if not ok.all():
             raise ValueError("BSGS verification failed (hash collision?)")
         return results

@@ -51,7 +51,7 @@ def _fixed_base_mul(base: PointW, scalars, n_bits) -> PointW:
     shape = arr.shape
     bits = scalars_to_bits(arr, n_bits)
     base_b = PointW(*(jnp.broadcast_to(c, shape + (16,)) for c in base))
-    return E2.jscalar_mul_bits(base_b, bits)
+    return E2.pscalar_mul_bits(base_b, bits)
 
 
 def encrypt_batch(messages, key: KeyPair,
@@ -72,9 +72,9 @@ def encrypt_batch(messages, key: KeyPair,
     mb = max(1, max((v.bit_length() for v in absm), default=1))
     mg = _fixed_base_mul(G, np.asarray(absm, dtype=object).reshape(arr.shape), mb)
     neg = np.asarray([v < 0 for v in flat], dtype=bool).reshape(arr.shape)
-    mg = E2.jselect(jnp.asarray(neg), E2.jneg(mg), mg)
+    mg = E2.pselect(neg, E2.pneg(mg), mg)
 
-    c2 = E2.jadd(mg, rh)
+    c2 = E2.padd(mg, rh)
     return CipherTensor(c1, c2)
 
 
@@ -89,7 +89,7 @@ def decrypt_batch(ct: CipherTensor, key: KeyPair, table: BsgsTable,
     )
     n = flatct.c1.x.shape[0]
     xbits = scalars_to_bits([key.x] * n, 253)
-    s = E2.jscalar_mul_bits(flatct.c1, xbits)
-    M = E2.jadd(flatct.c2, E2.jneg(s))      # m*G
+    s = E2.pscalar_mul_bits(flatct.c1, xbits)
+    M = E2.padd(flatct.c2, E2.pneg(s))      # m*G
     vals = table.dlog_batch(M, max_steps=max_steps)
     return np.asarray(vals, dtype=object).reshape(shape)

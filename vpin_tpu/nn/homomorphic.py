@@ -85,10 +85,10 @@ def _signed_const_mul(P: PointW, weights: np.ndarray) -> PointW:
     absw = np.vectorize(lambda v: abs(int(v)), otypes=[object])(w)
     n_bits = max(1, max(int(v).bit_length() for v in absw.reshape(-1)))
     bits = scalars_to_bits(absw, n_bits)
-    out = E2.jscalar_mul_bits(P, bits)
+    out = E2.pscalar_mul_bits(P, bits)
     neg_mask = np.vectorize(lambda v: int(v) < 0, otypes=[bool])(w)
     if neg_mask.any():
-        out = E2.jselect(jnp.asarray(neg_mask), E2.jneg(out), out)
+        out = E2.pselect(neg_mask, E2.pneg(out), out)
     return out
 
 
@@ -115,13 +115,26 @@ class HomomorphicEngine:
 
     def _prefix_adds(self, terms: PointW):
         """Sequential running sums acc_t = sum(terms[0..t]) via lax.scan;
-        returns (accs (n,...), final acc (...))."""
-        first = PointW(*(c[0] for c in terms))
-        rest = PointW(*(c[1:] for c in terms))
-
+        returns (accs (n,...), final acc (...)).  Batch dims are flattened
+        and padded to a power of two to bound compile-shape variety."""
+        n = terms.x.shape[0]
+        rest_shape = terms.x.shape[1:-1]
+        b = int(np.prod(rest_shape, dtype=int))
+        b_pad = 1
+        while b_pad < max(b, 1):
+            b_pad *= 2
+        flat = PointW(*(c.reshape(n, b, 16) for c in terms))
+        if b_pad != b:
+            pad = E2.infinity((n, b_pad - b))
+            flat = PointW(*(jnp.concatenate([x, q], axis=1)
+                            for x, q in zip(flat, pad)))
+        first = PointW(*(c[0] for c in flat))
+        rest = PointW(*(c[1:] for c in flat))
         final, accs_rest = _prefix_scan_jit(first, rest)
         accs = PointW(*(jnp.concatenate([c[None], r], axis=0)
                         for c, r in zip(first, accs_rest)))
+        accs = PointW(*(c[:, :b].reshape((n,) + rest_shape + (16,)) for c in accs))
+        final = PointW(*(c[:b].reshape(rest_shape + (16,)) for c in final))
         return accs, final
 
     def _record_chain(self, terms: PointW):
@@ -151,22 +164,22 @@ class HomomorphicEngine:
 
         # unrecorded homomorphic conv output
         terms = _signed_const_mul(win, wflat[None, :])
-        out = E2.jsum_points(terms, axis=1)                    # (M,)
+        out = E2.psum_points(terms, axis=1)                    # (M,)
 
         # rLC left: sum_m rho_m * out_m
         rho = pf_vector(key, M, self.prf_trunc_bytes)
         rho_bits = scalars_to_bits(rho, 8 * self.prf_trunc_bytes)
-        left = E2.jsum_points(E2.jscalar_mul_bits(out, rho_bits), axis=0)
+        left = E2.psum_points(E2.pscalar_mul_bits(out, rho_bits), axis=0)
 
         # rLC right: combine windows first (unrecorded), then f^2 recorded
         # mults by the plain kernel weights + a recorded add chain.
-        comb_terms = E2.jscalar_mul_bits(win, rho_bits[:, None, :])
-        combined = E2.jsum_points(comb_terms, axis=0)          # (f^2,)
+        comb_terms = E2.pscalar_mul_bits(win, rho_bits[:, None, :])
+        combined = E2.psum_points(comb_terms, axis=0)          # (f^2,)
         temp = _signed_const_mul(combined, wflat)
         self.trace.record_mults(combined, [int(v) for v in wflat])
         right = self._record_chain(temp)
 
-        self.pending_checks.append(E2.jeq(left, right))
+        self.pending_checks.append(E2.peq(left, right))
         return PointW(*(c.reshape(OH, OW, 16) for c in out))
 
     def avgpool2d(self, P: PointW, kernel_size: int, stride: int) -> PointW:
@@ -201,16 +214,16 @@ class HomomorphicEngine:
         # C[j] = sum_k W[k, j] * P[k]   (unrecorded)
         Pb = PointW(*(jnp.broadcast_to(c[:, None, :], (n_in, n_out, 16)) for c in P))
         terms = _signed_const_mul(Pb, weights)
-        C = E2.jsum_points(terms, axis=0)                      # (n_out,)
+        C = E2.psum_points(terms, axis=0)                      # (n_out,)
 
         # bias adds (recorded)
         self.trace.record_adds(C, bias)
-        out = E2.jadd(C, bias)
+        out = E2.padd(C, bias)
 
         # rLC left over C
         rho = pf_vector(key, n_out, self.prf_trunc_bytes)
         rho_bits = scalars_to_bits(rho, 8 * self.prf_trunc_bytes)
-        left = E2.jsum_points(E2.jscalar_mul_bits(C, rho_bits), axis=0)
+        left = E2.psum_points(E2.pscalar_mul_bits(C, rho_bits), axis=0)
 
         # combined column weights, exact integer arithmetic
         s = [sum(int(rho[j]) * int(weights[kk, j]) for j in range(n_out))
@@ -221,18 +234,18 @@ class HomomorphicEngine:
                     "negative rho-combined FC weight; the reference protocol "
                     "(u128 witness export) cannot represent this")
         n_bits = max(1, max(v.bit_length() for v in s))
-        temp = E2.jscalar_mul_bits(P, scalars_to_bits(s, n_bits))
+        temp = E2.pscalar_mul_bits(P, scalars_to_bits(s, n_bits))
         self.trace.record_mults(P, s)
         right = self._record_chain(temp)
 
-        self.pending_checks.append(E2.jeq(left, right))
+        self.pending_checks.append(E2.peq(left, right))
         return out
 
     # ------------------------------------------------------------------
 
     def flush_checks(self):
         """Synchronize all queued rLC equality checks; raise on mismatch."""
-        oks = [bool(np.asarray(c)) for c in self.pending_checks]
+        oks = [bool(np.asarray(c).all()) for c in self.pending_checks]
         self.pending_checks = []
         if not all(oks):
             bad = [i for i, ok in enumerate(oks) if not ok]
@@ -246,4 +259,4 @@ def channel_sum(channels: list) -> PointW:
     unrecorded)."""
     stacked = PointW(*(jnp.stack([c[i] for c in channels], axis=0)
                        for i in range(3)))
-    return E2.jsum_points(stacked, axis=0)
+    return E2.psum_points(stacked, axis=0)

@@ -81,7 +81,7 @@ class WitnessTrace:
         n_m = mb.x.shape[0]
         n_a = al.x.shape[0]
         allp = _concat_points([mb, al, ar])
-        x, y, inf = E2.to_affine(allp)
+        x, y, inf = E2.pto_affine(allp)
         xs = E2.F.from_mont(x)
         ys = E2.F.from_mont(y)
         infs = np.asarray(inf)

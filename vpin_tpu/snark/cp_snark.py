@@ -1,0 +1,157 @@
+"""Commit-and-prove Spartan SNARK driver (the vPIN L2 flow).
+
+Replicates vPIN_proof_generation/src/proof_point_add.rs:23-113 +
+commit_test.rs my_lib_prove/my_lib_verify:
+  1. commit vars_para and vars_input separately with one RandomTape;
+  2. combine commitments homomorphically (C = C_para + C_input);
+  3. sat proof over the combined commitment (CP transcript semantics);
+  4. append Ar/Br/Cr claims; R1CS eval proof (SPARK) over the matrix
+     commitment.
+
+The eval proof is optional while operating in "transparent" mode, where
+the verifier evaluates the (public) R1CS matrices itself — proof_size
+accounting then covers the sat proof only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from ..field.prime_field import L_MODULUS as L
+from ..poly.dense import DensePoly, ints_to_dev
+from ..transcript.merlin import Transcript, RandomTape
+from ..curve.rpoint import decompress_many
+from .r1cs import R1CSInstance
+from .r1csproof import (
+    PolyCommitment, R1CSGens, R1CSProof, combined_commit, poly_commit,
+    r1cs_prove_cp, r1cs_verify_cp,
+)
+
+SNARK_PROTOCOL = b"Spartan SNARK proof"
+
+
+class SNARKGens:
+    """reference: lib.rs:295-327 (eval-gens deferred to the SPARK module)."""
+
+    def __init__(self, num_cons: int, num_vars: int, num_inputs: int,
+                 num_nz_entries: int):
+        num_vars_padded = max(num_vars, num_inputs + 1)
+        if num_vars_padded & (num_vars_padded - 1):
+            num_vars_padded = 1 << num_vars_padded.bit_length()
+        self.num_vars_padded = num_vars_padded
+        self.gens_r1cs_sat = R1CSGens(b"gens_r1cs_sat", num_cons, num_vars_padded)
+        self.num_nz_entries = num_nz_entries
+        self._gens_r1cs_eval = None
+
+    @property
+    def gens_r1cs_eval(self):
+        if self._gens_r1cs_eval is None:
+            from ..spark.sparse_mlpoly import SparseMatPolyCommitmentGens
+            self._gens_r1cs_eval = SparseMatPolyCommitmentGens(
+                b"gens_r1cs_eval",
+                num_vars_x=None, num_vars_y=None, num_nz_entries=self.num_nz_entries,
+                batch_size=3)
+        return self._gens_r1cs_eval
+
+
+@dataclass
+class CPSnarkProof:
+    r1cs_sat_proof: R1CSProof
+    inst_evals: Tuple[int, int, int]
+    r1cs_eval_proof: Optional[object] = None
+
+    def size(self) -> int:
+        s = self.r1cs_sat_proof.size() + 3 * 32
+        if self.r1cs_eval_proof is not None:
+            s += self.r1cs_eval_proof.size()
+        return s
+
+
+def pad_assignment(vals: List[int], n: int) -> List[int]:
+    assert len(vals) <= n
+    return list(vals) + [0] * (n - len(vals))
+
+
+def cp_commit_witness(vars_para: List[int], vars_input: List[int],
+                      full_vars: List[int], gens: SNARKGens,
+                      tape_seed: Optional[int] = None):
+    """Commit the two witness shares and the combined witness
+    (reference: proof_point_add.rs:44-78)."""
+    n = gens.num_vars_padded
+    tape1 = RandomTape(bytes([2]), seed=tape_seed)
+    poly_para = DensePoly(ints_to_dev(pad_assignment(vars_para, n)))
+    comm_para, blind_para = poly_commit(poly_para, gens.gens_r1cs_sat.gens_pc, tape1)
+    poly_input = DensePoly(ints_to_dev(pad_assignment(vars_input, n)))
+    comm_input, blind_input = poly_commit(poly_input, gens.gens_r1cs_sat.gens_pc, tape1)
+
+    poly_vars = DensePoly(ints_to_dev(pad_assignment(full_vars, n)))
+    comm_vars, blind_vars = combined_commit(
+        poly_vars, gens.gens_r1cs_sat.gens_pc, blind_para, blind_input)
+
+    # homomorphism sanity check (proof_point_add.rs:69-78)
+    pa = decompress_many(comm_para.C)
+    pi = decompress_many(comm_input.C)
+    for i, c in enumerate(comm_vars.C):
+        assert (pa[i] + pi[i]).compress() == c, f"commit homomorphism row {i}"
+
+    return (poly_vars, comm_vars, blind_vars, comm_para, comm_input)
+
+
+def cp_snark_prove(inst: R1CSInstance, full_vars: List[int], inputs: List[int],
+                   gens: SNARKGens, transcript: Transcript,
+                   poly_vars: DensePoly, comm_vars: PolyCommitment,
+                   blind_vars: List[int], decomm=None,
+                   tape_seed: Optional[int] = None,
+                   with_eval_proof: bool = False) -> CPSnarkProof:
+    """my_lib_prove (commit_test.rs:59-133)."""
+    tape = RandomTape(b"proof", seed=tape_seed)
+    transcript.append_protocol_name(SNARK_PROTOCOL)
+
+    n = gens.num_vars_padded
+    padded_vars = pad_assignment(full_vars, n)
+    sat_proof, rx, ry = r1cs_prove_cp(
+        inst, padded_vars, inputs, gens.gens_r1cs_sat, transcript, tape,
+        poly_vars, comm_vars, blind_vars)
+
+    Ar, Br, Cr = inst.evaluate(rx, ry)
+    transcript.append_scalar(b"Ar_claim", Ar)
+    transcript.append_scalar(b"Br_claim", Br)
+    transcript.append_scalar(b"Cr_claim", Cr)
+
+    eval_proof = None
+    if with_eval_proof:
+        from ..spark.sparse_mlpoly import R1CSEvalProof
+        eval_proof = R1CSEvalProof.prove(
+            decomm, rx, ry, (Ar, Br, Cr), gens.gens_r1cs_eval, transcript, tape)
+
+    return CPSnarkProof(sat_proof, (Ar, Br, Cr), eval_proof)
+
+
+def cp_snark_verify(proof: CPSnarkProof, inst: R1CSInstance, inputs: List[int],
+                    transcript: Transcript, gens: SNARKGens,
+                    comm_para: PolyCommitment, comm_input: PolyCommitment,
+                    comm=None) -> bool:
+    """my_lib_verify (commit_test.rs:498-544).  In transparent mode
+    (comm None) the verifier evaluates the public matrices directly."""
+    transcript.append_protocol_name(SNARK_PROTOCOL)
+
+    res = r1cs_verify_cp(
+        proof.r1cs_sat_proof, gens.num_vars_padded, inst.num_cons,
+        inputs, proof.inst_evals, transcript, gens.gens_r1cs_sat,
+        comm_para, comm_input)
+    if res is None:
+        return False
+    rx, ry = res
+
+    Ar, Br, Cr = proof.inst_evals
+    transcript.append_scalar(b"Ar_claim", Ar)
+    transcript.append_scalar(b"Br_claim", Br)
+    transcript.append_scalar(b"Cr_claim", Cr)
+
+    if proof.r1cs_eval_proof is not None:
+        return proof.r1cs_eval_proof.verify(
+            comm, rx, ry, proof.inst_evals, gens.gens_r1cs_eval, transcript)
+    # transparent mode: recompute the evaluations from the public instance
+    got = inst.evaluate(rx, ry)
+    return tuple(x % L for x in got) == tuple(x % L for x in proof.inst_evals)

@@ -1,0 +1,400 @@
+"""R1CS satisfiability proof (two ZK sumchecks + Hyrax opening) with the
+vPIN commit-and-prove (CP) modifications.
+
+Replicates, on the transcript level bit-for-bit:
+  * my_R1CSProof_prove / my_r1csproof_verify
+    (reference: vPIN_proof_generation/src/commit_test.rs:136-496) —
+    the CP variant appends the externally-combined witness commitment
+    and does NOT append `input` (deliberate deviations from stock
+    Spartan r1csproof.rs);
+  * PolyEvalProof (reference: Spartan/src/dense_mlpoly.rs:317-418);
+  * gens derivation (reference: Spartan/src/r1csproof.rs:49-91).
+
+Table-sized work (multiply_vec, eq tables, sumcheck round sums, Hyrax
+MSMs) runs on device; protocol scalars are exact host ints.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..field.prime_field import FQ, L_MODULUS as L
+from ..poly.dense import DensePoly, eq_evals, factored_lens, ints_to_dev, dev_to_ints
+from ..transcript.merlin import Transcript, RandomTape
+from ..curve.rpoint import RPoint, msm_host, decompress_many
+from ..commit.pedersen import MultiCommitGens, hyrax_commit
+from ..curve.ristretto import RISTRETTO, PointE
+from ..nizk.sigma import (
+    KnowledgeProof, EqualityProof, ProductProof, DotProductProofLog,
+    DotProductProofGens, commit1,
+)
+from ..sumcheck.sumcheck import ZKSumcheckInstanceProof
+from .r1cs import R1CSInstance
+
+VEC_LEN_PREFIX = 8  # bincode u64 length prefix
+
+
+# ----------------------------------------------------------------------
+# generators
+# ----------------------------------------------------------------------
+
+class PolyCommitmentGens:
+    """reference: dense_mlpoly.rs PolyCommitmentGens::new."""
+
+    def __init__(self, num_poly_vars: int, label: bytes):
+        _, right = factored_lens(num_poly_vars)
+        self.gens = DotProductProofGens(1 << right, label)
+
+
+class R1CSSumcheckGens:
+    def __init__(self, label: bytes, gens_1: MultiCommitGens):
+        self.gens_1 = gens_1
+        self.gens_3 = MultiCommitGens.new(3, label)
+        self.gens_4 = MultiCommitGens.new(4, label)
+
+
+class R1CSGens:
+    def __init__(self, label: bytes, num_cons: int, num_vars: int):
+        num_poly_vars = num_vars.bit_length() - 1
+        self.gens_pc = PolyCommitmentGens(num_poly_vars, label)
+        self.gens_sc = R1CSSumcheckGens(label, self.gens_pc.gens.gens_1)
+
+
+# ----------------------------------------------------------------------
+# PolyCommitment (Hyrax rows)
+# ----------------------------------------------------------------------
+
+@dataclass
+class PolyCommitment:
+    C: List[bytes]
+
+    def append_to_transcript(self, label: bytes, t: Transcript) -> None:
+        t.append_message(label, b"poly_commitment_begin")
+        for c in self.C:
+            t.append_point(b"poly_commitment_share", c)
+        t.append_message(label, b"poly_commitment_end")
+
+    def size(self) -> int:
+        return VEC_LEN_PREFIX + 32 * len(self.C)
+
+
+def poly_commit(poly: DensePoly, gens_pc: PolyCommitmentGens,
+                tape: Optional[RandomTape]) -> Tuple[PolyCommitment, List[int]]:
+    """DensePolynomial::commit (dense_mlpoly.rs:193-218)."""
+    ell = poly.num_vars
+    lnv, rnv = factored_lens(ell)
+    L_size = 1 << lnv
+    blinds = (tape.random_vector(b"poly_blinds", L_size) if tape is not None
+              else [0] * L_size)
+    rows = hyrax_commit(poly.Z, blinds, gens_pc.gens.gens_n)
+    return PolyCommitment(RISTRETTO.encode_bytes(rows)), blinds
+
+
+def combined_commit(poly: DensePoly, gens_pc: PolyCommitmentGens,
+                    blind_1: List[int], blind_2: List[int]):
+    """my_dense_mlpoly_commit: commit with blinds = blind_1 + blind_2 so
+    C(w) == C(w_para) * C(w_input) homomorphically
+    (reference: commit_test.rs:27-57)."""
+    blinds = [(a + b) % L for a, b in zip(blind_1, blind_2)]
+    rows = hyrax_commit(poly.Z, blinds, gens_pc.gens.gens_n)
+    return PolyCommitment(RISTRETTO.encode_bytes(rows)), blinds
+
+
+# ----------------------------------------------------------------------
+# PolyEvalProof
+# ----------------------------------------------------------------------
+
+@dataclass
+class PolyEvalProof:
+    proof: DotProductProofLog
+
+    PROTOCOL = b"polynomial evaluation proof"
+
+    @staticmethod
+    def prove(poly: DensePoly, blinds: Optional[List[int]], r: Sequence[int],
+              Zr: int, blind_Zr: Optional[int], gens: PolyCommitmentGens,
+              transcript: Transcript, tape: RandomTape):
+        transcript.append_protocol_name(PolyEvalProof.PROTOCOL)
+        assert poly.num_vars == len(r)
+        lnv, rnv = factored_lens(len(r))
+        L_size, R_size = 1 << lnv, 1 << rnv
+        blinds = blinds if blinds is not None else [0] * L_size
+        blind_Zr = blind_Zr if blind_Zr is not None else 0
+
+        L_vec = [x % L for x in _eq_half(r[:lnv])]
+        R_vec = [x % L for x in _eq_half(r[lnv:])]
+
+        LZ = dev_to_ints(poly.bound_L(ints_to_dev(L_vec)))
+        LZ_blind = sum(blinds[i] * L_vec[i] for i in range(L_size)) % L
+
+        proof, _, C_Zr_prime = DotProductProofLog.prove(
+            gens.gens, transcript, tape, LZ, LZ_blind, R_vec, Zr, blind_Zr)
+        return PolyEvalProof(proof), C_Zr_prime
+
+    def verify(self, gens: PolyCommitmentGens, transcript: Transcript,
+               r: Sequence[int], C_Zr: bytes, comm: PolyCommitment) -> bool:
+        transcript.append_protocol_name(PolyEvalProof.PROTOCOL)
+        lnv, rnv = factored_lens(len(r))
+        L_vec = _eq_half(r[:lnv])
+        R_vec = _eq_half(r[lnv:])
+        C_pts = decompress_many(comm.C)
+        C_LZ = msm_host(L_vec, C_pts).compress()
+        return self.proof.verify(len(R_vec), gens.gens, transcript,
+                                 R_vec, C_LZ, C_Zr)
+
+    def size(self) -> int:
+        b = self.proof.bullet
+        return (2 * (VEC_LEN_PREFIX + 32 * len(b.L_vec)) + 4 * 32)
+
+
+@functools.lru_cache(maxsize=None)
+def _eq_half_cached(r_tuple):
+    from ..poly.dense import eq_evals as ev
+    return dev_to_ints(ev(list(r_tuple)))
+
+
+def _eq_half(r: Sequence[int]) -> List[int]:
+    return list(_eq_half_cached(tuple(int(x) for x in r)))
+
+
+# ----------------------------------------------------------------------
+# R1CSProof (CP variant)
+# ----------------------------------------------------------------------
+
+@dataclass
+class R1CSProof:
+    comm_vars: PolyCommitment
+    sc_proof_phase1: ZKSumcheckInstanceProof
+    claims_phase2: Tuple[bytes, bytes, bytes, bytes]
+    pok_claims_phase2: Tuple[KnowledgeProof, ProductProof]
+    proof_eq_sc_phase1: EqualityProof
+    sc_proof_phase2: ZKSumcheckInstanceProof
+    comm_vars_at_ry: bytes
+    proof_eval_vars_at_ry: PolyEvalProof
+    proof_eq_sc_phase2: EqualityProof
+
+    PROTOCOL = b"Spartan R1CS proof"
+
+    def size(self) -> int:
+        def sc_size(sc: ZKSumcheckInstanceProof) -> int:
+            s = 2 * (VEC_LEN_PREFIX + 32 * len(sc.comm_polys)) + VEC_LEN_PREFIX
+            for p in sc.proofs:
+                s += 2 * 32 + (VEC_LEN_PREFIX + 32 * len(p.z)) + 2 * 32
+            return s
+
+        return (self.comm_vars.size()
+                + sc_size(self.sc_proof_phase1)
+                + 4 * 32
+                + 3 * 32 + (3 * 32 + 5 * 32)      # KnowledgeProof + ProductProof
+                + 2 * 32                          # EqualityProof
+                + sc_size(self.sc_proof_phase2)
+                + 32
+                + self.proof_eval_vars_at_ry.size()
+                + 2 * 32)
+
+
+def _log2(n: int) -> int:
+    return n.bit_length() - 1
+
+
+def r1cs_prove_cp(inst: R1CSInstance, vars_ints: List[int], inputs: List[int],
+                  gens: R1CSGens, transcript: Transcript, tape: RandomTape,
+                  poly_vars: DensePoly, comm_vars: PolyCommitment,
+                  blinds_vars: List[int]):
+    """my_R1CSProof_prove (commit_test.rs:136-334)."""
+    transcript.append_protocol_name(R1CSProof.PROTOCOL)
+    assert len(inputs) < len(vars_ints)
+
+    # CP deviation: append the externally-combined commitment
+    comm_vars.append_to_transcript(b"poly_commitment", transcript)
+
+    num_vars = len(vars_ints)
+    z_ints = list(vars_ints) + [1] + list(inputs) + \
+        [0] * (num_vars - len(inputs) - 1)
+    z_dev = ints_to_dev(z_ints)
+
+    num_rounds_x = _log2(inst.num_cons)
+    num_rounds_y = _log2(len(z_ints))
+    tau = transcript.challenge_vector(b"challenge_tau", num_rounds_x)
+
+    poly_tau = DensePoly(eq_evals(tau))
+    poly_Az, poly_Bz, poly_Cz = inst.multiply_vec(z_dev)
+
+    sc_proof_phase1, rx, claims_phase1, blind_claim_postsc1 = \
+        ZKSumcheckInstanceProof.prove_cubic_with_additive_term(
+            0, 0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz,
+            gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript, tape)
+    tau_claim, Az_claim, Bz_claim, Cz_claim = claims_phase1
+
+    Az_blind = tape.random_scalar(b"Az_blind")
+    Bz_blind = tape.random_scalar(b"Bz_blind")
+    Cz_blind = tape.random_scalar(b"Cz_blind")
+    prod_Az_Bz_blind = tape.random_scalar(b"prod_Az_Bz_blind")
+
+    pok_Cz_claim, comm_Cz_claim = KnowledgeProof.prove(
+        gens.gens_sc.gens_1, transcript, tape, Cz_claim, Cz_blind)
+    prod = Az_claim * Bz_claim % L
+    proof_prod, comm_Az_claim, comm_Bz_claim, comm_prod_Az_Bz_claims = \
+        ProductProof.prove(gens.gens_sc.gens_1, transcript, tape,
+                           Az_claim, Az_blind, Bz_claim, Bz_blind,
+                           prod, prod_Az_Bz_blind)
+
+    transcript.append_point(b"comm_Az_claim", comm_Az_claim)
+    transcript.append_point(b"comm_Bz_claim", comm_Bz_claim)
+    transcript.append_point(b"comm_Cz_claim", comm_Cz_claim)
+    transcript.append_point(b"comm_prod_Az_Bz_claims", comm_prod_Az_Bz_claims)
+
+    taus_bound_rx = tau_claim
+    blind_expected_claim_postsc1 = taus_bound_rx * (prod_Az_Bz_blind - Cz_blind) % L
+    claim_post_phase1 = (Az_claim * Bz_claim - Cz_claim) * taus_bound_rx % L
+    proof_eq_sc_phase1, _, _ = EqualityProof.prove(
+        gens.gens_sc.gens_1, transcript, tape,
+        claim_post_phase1, blind_expected_claim_postsc1,
+        claim_post_phase1, blind_claim_postsc1)
+
+    r_A = transcript.challenge_scalar(b"challenege_Az")
+    r_B = transcript.challenge_scalar(b"challenege_Bz")
+    r_C = transcript.challenge_scalar(b"challenege_Cz")
+    claim_phase2 = (r_A * Az_claim + r_B * Bz_claim + r_C * Cz_claim) % L
+    blind_claim_phase2 = (r_A * Az_blind + r_B * Bz_blind + r_C * Cz_blind) % L
+
+    evals_rx = eq_evals(rx)
+    evals_A, evals_B, evals_C = inst.compute_eval_table_sparse(evals_rx)
+    rA_d, rB_d, rC_d = (jnp.broadcast_to(FQ.to_mont([v]), evals_A.shape)
+                        for v in (r_A, r_B, r_C))
+    evals_ABC = FQ.add(FQ.add(FQ.mul(rA_d, evals_A), FQ.mul(rB_d, evals_B)),
+                       FQ.mul(rC_d, evals_C))
+
+    sc_proof_phase2, ry, claims_phase2_vals, blind_claim_postsc2 = \
+        ZKSumcheckInstanceProof.prove_quad(
+            claim_phase2, blind_claim_phase2, num_rounds_y,
+            DensePoly(z_dev), DensePoly(evals_ABC),
+            gens.gens_sc.gens_1, gens.gens_sc.gens_3, transcript, tape)
+
+    eval_vars_at_ry = poly_vars.evaluate(ry[1:])
+    blind_eval = tape.random_scalar(b"blind_eval")
+    proof_eval_vars_at_ry, comm_vars_at_ry = PolyEvalProof.prove(
+        poly_vars, blinds_vars, ry[1:], eval_vars_at_ry, blind_eval,
+        gens.gens_pc, transcript, tape)
+
+    blind_eval_Z_at_ry = (1 - ry[0]) * blind_eval % L
+    blind_expected_claim_postsc2 = claims_phase2_vals[1] * blind_eval_Z_at_ry % L
+    claim_post_phase2 = claims_phase2_vals[0] * claims_phase2_vals[1] % L
+    proof_eq_sc_phase2, _, _ = EqualityProof.prove(
+        gens.gens_pc.gens.gens_1, transcript, tape,
+        claim_post_phase2, blind_expected_claim_postsc2,
+        claim_post_phase2, blind_claim_postsc2)
+
+    return (R1CSProof(
+        comm_vars, sc_proof_phase1,
+        (comm_Az_claim, comm_Bz_claim, comm_Cz_claim, comm_prod_Az_Bz_claims),
+        (pok_Cz_claim, proof_prod), proof_eq_sc_phase1, sc_proof_phase2,
+        comm_vars_at_ry, proof_eval_vars_at_ry, proof_eq_sc_phase2), rx, ry)
+
+
+def r1cs_verify_cp(proof: R1CSProof, num_vars: int, num_cons: int,
+                   inputs: List[int], evals: Tuple[int, int, int],
+                   transcript: Transcript, gens: R1CSGens,
+                   comm_1: PolyCommitment, comm_2: PolyCommitment):
+    """my_r1csproof_verify (commit_test.rs:340-496).  Returns (rx, ry) or
+    None on failure."""
+    transcript.append_protocol_name(R1CSProof.PROTOCOL)
+
+    c1 = decompress_many(comm_1.C)
+    c2 = decompress_many(comm_2.C)
+    combined = PolyCommitment([(a + b).compress() for a, b in zip(c1, c2)])
+    combined.append_to_transcript(b"poly_commitment", transcript)
+
+    num_rounds_x = _log2(num_cons)
+    num_rounds_y = _log2(2 * num_vars)
+    tau = transcript.challenge_vector(b"challenge_tau", num_rounds_x)
+
+    claim_phase1 = commit1(0, 0, gens.gens_sc.gens_1).compress()
+    res1 = proof.sc_proof_phase1.verify(
+        claim_phase1, num_rounds_x, 3, gens.gens_sc.gens_1,
+        gens.gens_sc.gens_4, transcript)
+    if res1 is None:
+        return None
+    comm_claim_post_phase1, rx = res1
+
+    comm_Az_claim, comm_Bz_claim, comm_Cz_claim, comm_prod_Az_Bz_claims = \
+        proof.claims_phase2
+    pok_Cz_claim, proof_prod = proof.pok_claims_phase2
+    if not pok_Cz_claim.verify(gens.gens_sc.gens_1, transcript, comm_Cz_claim):
+        return None
+    if not proof_prod.verify(gens.gens_sc.gens_1, transcript, comm_Az_claim,
+                             comm_Bz_claim, comm_prod_Az_Bz_claims):
+        return None
+
+    transcript.append_point(b"comm_Az_claim", comm_Az_claim)
+    transcript.append_point(b"comm_Bz_claim", comm_Bz_claim)
+    transcript.append_point(b"comm_Cz_claim", comm_Cz_claim)
+    transcript.append_point(b"comm_prod_Az_Bz_claims", comm_prod_Az_Bz_claims)
+
+    taus_bound_rx = 1
+    for i in range(len(rx)):
+        taus_bound_rx = taus_bound_rx * (
+            rx[i] * tau[i] + (1 - rx[i]) * (1 - tau[i])) % L
+    expected_claim_post_phase1 = (
+        RPoint.decompress(comm_prod_Az_Bz_claims)
+        - RPoint.decompress(comm_Cz_claim)).mul(taus_bound_rx).compress()
+
+    if not proof.proof_eq_sc_phase1.verify(
+            gens.gens_sc.gens_1, transcript,
+            expected_claim_post_phase1, comm_claim_post_phase1):
+        return None
+
+    r_A = transcript.challenge_scalar(b"challenege_Az")
+    r_B = transcript.challenge_scalar(b"challenege_Bz")
+    r_C = transcript.challenge_scalar(b"challenege_Cz")
+    comm_claim_phase2 = msm_host(
+        [r_A, r_B, r_C],
+        decompress_many([comm_Az_claim, comm_Bz_claim, comm_Cz_claim])).compress()
+
+    res2 = proof.sc_proof_phase2.verify(
+        comm_claim_phase2, num_rounds_y, 2, gens.gens_sc.gens_1,
+        gens.gens_sc.gens_3, transcript)
+    if res2 is None:
+        return None
+    comm_claim_post_phase2, ry = res2
+
+    if not proof.proof_eval_vars_at_ry.verify(
+            gens.gens_pc, transcript, ry[1:], proof.comm_vars_at_ry, combined):
+        return None
+
+    # poly_input_eval: sparse poly [1, inputs...] evaluated at ry[1:]
+    poly_input_eval = _sparse_poly_eval(
+        [1] + list(inputs), _log2(num_vars), ry[1:])
+
+    comm_eval_Z_at_ry = msm_host(
+        [(1 - ry[0]) % L, ry[0]],
+        [RPoint.decompress(proof.comm_vars_at_ry),
+         commit1(poly_input_eval, 0, gens.gens_pc.gens.gens_1)])
+
+    eval_A_r, eval_B_r, eval_C_r = evals
+    scalar = (r_A * eval_A_r + r_B * eval_B_r + r_C * eval_C_r) % L
+    expected_claim_post_phase2 = comm_eval_Z_at_ry.mul(scalar).compress()
+    if not proof.proof_eq_sc_phase2.verify(
+            gens.gens_pc.gens.gens_1, transcript,
+            expected_claim_post_phase2, comm_claim_post_phase2):
+        return None
+
+    return rx, ry
+
+
+def _sparse_poly_eval(entries: List[int], num_vars: int, r: Sequence[int]) -> int:
+    """SparsePolynomial::evaluate over entries at indices 0..len-1
+    (reference: sparse_mlpoly.rs:1574-1622)."""
+    total = 0
+    for idx, val in enumerate(entries):
+        chi = 1
+        for j in range(num_vars):
+            bit = (idx >> (num_vars - 1 - j)) & 1
+            chi = chi * (r[j] if bit else (1 - r[j])) % L
+        total = (total + chi * val) % L
+    return total

@@ -1,0 +1,310 @@
+"""Sumcheck provers/verifiers — ZK (used by the two R1CS sumchecks) and
+non-ZK (used inside SPARK's product circuits).
+
+Per-round evaluation sums run as fused batched device kernels over the
+halved eval tables (one jit per table size, persistent-cached); the
+per-round protocol logic (UniPoly interpolation, Pedersen commitment,
+DotProductProof) is exact host arithmetic.  Mirrors
+Spartan/src/sumcheck.rs and unipoly.rs bit-for-bit on the transcript.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..field.prime_field import FQ, L_MODULUS as L
+from ..poly.dense import DensePoly
+from ..transcript.merlin import Transcript, RandomTape
+from ..curve.rpoint import RPoint, msm_host
+from ..nizk.sigma import (
+    DotProductProof, append_scalars_vector, commit1, commitN,
+)
+
+_INV2 = pow(2, -1, L)
+_INV6 = pow(6, -1, L)
+
+
+# ----------------------------------------------------------------------
+# UniPoly (reference: Spartan/src/unipoly.rs)
+# ----------------------------------------------------------------------
+
+class UniPoly:
+    """Degree-2/3 univariate poly; coeffs low-to-high, host ints."""
+
+    def __init__(self, coeffs: List[int]):
+        self.coeffs = [c % L for c in coeffs]
+
+    @staticmethod
+    def from_evals(evals: Sequence[int]) -> "UniPoly":
+        e = [x % L for x in evals]
+        if len(e) == 3:
+            c = e[0]
+            a = _INV2 * (e[2] - e[1] - e[1] + c) % L
+            b = (e[1] - c - a) % L
+            return UniPoly([c, b, a])
+        assert len(e) == 4
+        d = e[0]
+        a = _INV6 * (e[3] - 3 * e[2] + 3 * e[1] - e[0]) % L
+        b = _INV2 * (2 * e[0] - 5 * e[1] + 4 * e[2] - e[3]) % L
+        c = (e[1] - d - a - b) % L
+        return UniPoly([d, c, b, a])
+
+    @property
+    def degree(self) -> int:
+        return len(self.coeffs) - 1
+
+    def eval_at_zero(self) -> int:
+        return self.coeffs[0]
+
+    def eval_at_one(self) -> int:
+        return sum(self.coeffs) % L
+
+    def evaluate(self, r: int) -> int:
+        acc, power = self.coeffs[0], r
+        for c in self.coeffs[1:]:
+            acc = (acc + power * c) % L
+            power = power * r % L
+        return acc
+
+    def compress(self) -> List[int]:
+        """coeffs except the linear term (reference proof-size trick)."""
+        return [self.coeffs[0]] + self.coeffs[2:]
+
+    @staticmethod
+    def decompress(compressed: Sequence[int], hint: int) -> "UniPoly":
+        linear = (hint - 2 * compressed[0] - sum(compressed[1:])) % L
+        return UniPoly([compressed[0], linear] + list(compressed[1:]))
+
+    def append_to_transcript(self, label: bytes, t: Transcript) -> None:
+        t.append_message(label, b"UniPoly_begin")
+        for c in self.coeffs:
+            t.append_scalar(b"coeff", c)
+        t.append_message(label, b"UniPoly_end")
+
+    def commit(self, gens, blind: int) -> RPoint:
+        return commitN(self.coeffs, blind, gens)
+
+
+# ----------------------------------------------------------------------
+# device round kernels
+# ----------------------------------------------------------------------
+
+@jax.jit
+def _round_evals_quad(A, B):
+    n = A.shape[0] // 2
+    Al, Ah = A[:n], A[n:]
+    Bl, Bh = B[:n], B[n:]
+    e0 = FQ.sum_reduce(FQ.mul(Al, Bl))
+    A2 = FQ.sub(FQ.add(Ah, Ah), Al)
+    B2 = FQ.sub(FQ.add(Bh, Bh), Bl)
+    e2 = FQ.sum_reduce(FQ.mul(A2, B2))
+    return e0, e2
+
+
+@jax.jit
+def _round_evals_cubic_additive(A, B, C, D):
+    """comb(a,b,c,d) = a*(b*c - d) — phase-one outer combinator
+    (reference r1csproof.rs:104-110)."""
+    n = A.shape[0] // 2
+
+    def comb(a, b, c, d):
+        return FQ.mul(a, FQ.sub(FQ.mul(b, c), d))
+
+    halves = [(t[:n], t[n:]) for t in (A, B, C, D)]
+    e0 = FQ.sum_reduce(comb(*(lo for lo, _ in halves)))
+    b2 = [FQ.sub(FQ.add(hi, hi), lo) for lo, hi in halves]
+    e2 = FQ.sum_reduce(comb(*b2))
+    b3 = [FQ.add(v, FQ.sub(hi, lo)) for v, (lo, hi) in zip(b2, halves)]
+    e3 = FQ.sum_reduce(comb(*b3))
+    return e0, e2, e3
+
+
+@jax.jit
+def _round_evals_cubic(A, B, C):
+    """comb(a,b,c) = a*b*c (SPARK product-layer combinator)."""
+    n = A.shape[0] // 2
+    halves = [(t[:n], t[n:]) for t in (A, B, C)]
+    e0 = FQ.sum_reduce(FQ.mul(FQ.mul(halves[0][0], halves[1][0]), halves[2][0]))
+    b2 = [FQ.sub(FQ.add(hi, hi), lo) for lo, hi in halves]
+    e2 = FQ.sum_reduce(FQ.mul(FQ.mul(b2[0], b2[1]), b2[2]))
+    b3 = [FQ.add(v, FQ.sub(hi, lo)) for v, (lo, hi) in zip(b2, halves)]
+    e3 = FQ.sum_reduce(FQ.mul(FQ.mul(b3[0], b3[1]), b3[2]))
+    return e0, e2, e3
+
+
+def _to_int(x) -> int:
+    return int(FQ.from_mont(x))
+
+
+# ----------------------------------------------------------------------
+# non-ZK sumcheck (SumcheckInstanceProof)
+# ----------------------------------------------------------------------
+
+@dataclass
+class SumcheckInstanceProof:
+    compressed_polys: List[List[int]]
+
+    def verify(self, claim: int, num_rounds: int, degree_bound: int,
+               transcript: Transcript) -> Tuple[int, List[int]]:
+        e = claim % L
+        r: List[int] = []
+        assert len(self.compressed_polys) == num_rounds
+        for comp in self.compressed_polys:
+            poly = UniPoly.decompress(comp, e)
+            assert poly.degree == degree_bound
+            assert (poly.eval_at_zero() + poly.eval_at_one()) % L == e
+            poly.append_to_transcript(b"poly", transcript)
+            r_i = transcript.challenge_scalar(b"challenge_nextround")
+            r.append(r_i)
+            e = poly.evaluate(r_i)
+        return e, r
+
+    @staticmethod
+    def prove_cubic(claim: int, num_rounds: int,
+                    poly_A: DensePoly, poly_B: DensePoly, poly_C: DensePoly,
+                    transcript: Transcript):
+        e = claim % L
+        r: List[int] = []
+        polys: List[List[int]] = []
+        for _ in range(num_rounds):
+            e0, e2, e3 = (_to_int(v) for v in
+                          _round_evals_cubic(poly_A.Z, poly_B.Z, poly_C.Z))
+            poly = UniPoly.from_evals([e0, (e - e0) % L, e2, e3])
+            poly.append_to_transcript(b"poly", transcript)
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            r.append(r_j)
+            for p in (poly_A, poly_B, poly_C):
+                p.bound_poly_var_top(r_j)
+            e = poly.evaluate(r_j)
+            polys.append(poly.compress())
+        claims = [poly_A.index(0), poly_B.index(0), poly_C.index(0)]
+        return SumcheckInstanceProof(polys), r, claims
+
+
+# ----------------------------------------------------------------------
+# ZK sumcheck (ZKSumcheckInstanceProof)
+# ----------------------------------------------------------------------
+
+@dataclass
+class ZKSumcheckInstanceProof:
+    comm_polys: List[bytes]
+    comm_evals: List[bytes]
+    proofs: List[DotProductProof]
+
+    def verify(self, comm_claim: bytes, num_rounds: int, degree_bound: int,
+               gens_1, gens_n, transcript: Transcript):
+        assert gens_n.n == degree_bound + 1
+        assert len(self.comm_polys) == num_rounds
+        r: List[int] = []
+        for i in range(num_rounds):
+            comm_poly = self.comm_polys[i]
+            transcript.append_point(b"comm_poly", comm_poly)
+            r_i = transcript.challenge_scalar(b"challenge_nextround")
+
+            comm_claim_per_round = comm_claim if i == 0 else self.comm_evals[i - 1]
+            comm_eval = self.comm_evals[i]
+            transcript.append_point(b"comm_claim_per_round", comm_claim_per_round)
+            transcript.append_point(b"comm_eval", comm_eval)
+            w = transcript.challenge_vector(b"combine_two_claims_to_one", 2)
+
+            comm_target = msm_host(
+                w, [RPoint.decompress(comm_claim_per_round),
+                    RPoint.decompress(comm_eval)]).compress()
+
+            a_sc = [1] * (degree_bound + 1)
+            a_sc[0] = 2
+            a_eval = [1]
+            for _ in range(degree_bound):
+                a_eval.append(a_eval[-1] * r_i % L)
+            a = [(w[0] * a_sc[j] + w[1] * a_eval[j]) % L
+                 for j in range(degree_bound + 1)]
+
+            if not self.proofs[i].verify(gens_1, gens_n, transcript, a,
+                                         comm_poly, comm_target):
+                return None
+            r.append(r_i)
+        return self.comm_evals[-1], r
+
+    @staticmethod
+    def _prove_rounds(claim, blind_claim, num_rounds, polys, kind,
+                      gens_1, gens_n, transcript, tape):
+        """Shared round loop; kind in {'quad', 'cubic_additive'}."""
+        blinds_poly = tape.random_vector(b"blinds_poly", num_rounds)
+        blinds_evals = tape.random_vector(b"blinds_evals", num_rounds)
+
+        claim_per_round = claim % L
+        comm_claim_per_round = commit1(claim_per_round, blind_claim, gens_1).compress()
+
+        r: List[int] = []
+        comm_polys: List[bytes] = []
+        comm_evals: List[bytes] = []
+        proofs: List[DotProductProof] = []
+
+        for j in range(num_rounds):
+            if kind == "quad":
+                e0, e2 = (_to_int(v) for v in
+                          _round_evals_quad(polys[0].Z, polys[1].Z))
+                evals = [e0, (claim_per_round - e0) % L, e2]
+            else:
+                e0, e2, e3 = (_to_int(v) for v in _round_evals_cubic_additive(
+                    polys[0].Z, polys[1].Z, polys[2].Z, polys[3].Z))
+                evals = [e0, (claim_per_round - e0) % L, e2, e3]
+            poly = UniPoly.from_evals(evals)
+            comm_poly = poly.commit(gens_n, blinds_poly[j]).compress()
+            transcript.append_point(b"comm_poly", comm_poly)
+            comm_polys.append(comm_poly)
+
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            for p in polys:
+                p.bound_poly_var_top(r_j)
+
+            eval_r = poly.evaluate(r_j)
+            comm_eval = commit1(eval_r, blinds_evals[j], gens_1).compress()
+            transcript.append_point(b"comm_claim_per_round", comm_claim_per_round)
+            transcript.append_point(b"comm_eval", comm_eval)
+            w = transcript.challenge_vector(b"combine_two_claims_to_one", 2)
+
+            target = (w[0] * claim_per_round + w[1] * eval_r) % L
+            blind_sc = blind_claim if j == 0 else blinds_evals[j - 1]
+            blind = (w[0] * blind_sc + w[1] * blinds_evals[j]) % L
+
+            a_sc = [1] * (poly.degree + 1)
+            a_sc[0] = 2
+            a_eval = [1]
+            for _ in range(poly.degree):
+                a_eval.append(a_eval[-1] * r_j % L)
+            a = [(w[0] * a_sc[t] + w[1] * a_eval[t]) % L
+                 for t in range(poly.degree + 1)]
+
+            proof, _, _ = DotProductProof.prove(
+                gens_1, gens_n, transcript, tape,
+                poly.coeffs, blinds_poly[j], a, target, blind)
+
+            proofs.append(proof)
+            claim_per_round = eval_r
+            comm_claim_per_round = comm_eval
+            r.append(r_j)
+            comm_evals.append(comm_eval)
+
+        claims = [p.index(0) for p in polys]
+        return (ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs),
+                r, claims, blinds_evals[num_rounds - 1])
+
+    @staticmethod
+    def prove_quad(claim, blind_claim, num_rounds, poly_A, poly_B,
+                   gens_1, gens_n, transcript, tape):
+        return ZKSumcheckInstanceProof._prove_rounds(
+            claim, blind_claim, num_rounds, [poly_A, poly_B], "quad",
+            gens_1, gens_n, transcript, tape)
+
+    @staticmethod
+    def prove_cubic_with_additive_term(claim, blind_claim, num_rounds,
+                                       poly_A, poly_B, poly_C, poly_D,
+                                       gens_1, gens_n, transcript, tape):
+        return ZKSumcheckInstanceProof._prove_rounds(
+            claim, blind_claim, num_rounds, [poly_A, poly_B, poly_C, poly_D],
+            "cubic_additive", gens_1, gens_n, transcript, tape)
