@@ -154,7 +154,9 @@ class RistrettoGroup(PaddedOps):
 
     def scalar_mul_bits(self, Pp: PointE, bits) -> PointE:
         bits = jnp.asarray(bits, jnp.uint32)
-        acc0 = self.identity(Pp.batch_shape)
+        zx = jnp.zeros_like(Pp.x)
+        one = zx + self.F.R_dev
+        acc0 = PointE(zx, one, one, jnp.zeros_like(Pp.t))
 
         def body(carry, i):
             acc, base = carry
@@ -173,7 +175,9 @@ class RistrettoGroup(PaddedOps):
         if n == 1:
             return PointE(*(c[0] for c in Pp))
         levels = int(np.ceil(np.log2(n)))
-        pad = self.identity((n,) + Pp.x.shape[1:-1])
+        zx = jnp.zeros_like(Pp.x)
+        one = zx + self.F.R_dev
+        pad = PointE(zx, one, one, jnp.zeros_like(Pp.t))
         strides = jnp.asarray([1 << i for i in range(levels)], jnp.int32)
 
         def body(acc, stride):

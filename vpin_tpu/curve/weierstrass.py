@@ -227,7 +227,9 @@ class WeierstrassCurve(PaddedOps):
         to P's batch shape.  Branch-free double-and-add via lax.scan."""
         bits = jnp.asarray(bits, jnp.uint32)
         n_bits = bits.shape[-1]
-        acc0 = self.infinity(P.batch_shape)
+        # identity built from the input so it inherits sharding/varying axes
+        zx = jnp.zeros_like(P.x)
+        acc0 = PointW(zx, zx + self.F.R_dev, jnp.zeros_like(P.z))
 
         def body(carry, i):
             acc, base = carry
@@ -265,7 +267,8 @@ class WeierstrassCurve(PaddedOps):
         if n == 1:
             return PointW(*(t[0] for t in P))
         levels = int(np.ceil(np.log2(n)))
-        pad = self.infinity((n,) + P.x.shape[1:-1])
+        zx = jnp.zeros_like(P.x)
+        pad = PointW(zx, zx + self.F.R_dev, jnp.zeros_like(P.z))
         strides = jnp.asarray([1 << t for t in range(levels)], jnp.int32)
 
         def body(acc, stride):

@@ -275,7 +275,7 @@ class PrimeField:
         if n == 1:
             return a[0]
         levels = int(np.ceil(np.log2(n)))
-        pad = self.zeros((n,) + a.shape[1:-1])
+        pad = jnp.zeros_like(a)
         strides = jnp.asarray([1 << t for t in range(levels)], jnp.int32)
 
         def body(acc, stride):

@@ -1,0 +1,206 @@
+"""Proof-generation driver: witness JSON/trace -> CP-SNARK prove+verify.
+
+Replicates the reference CLI flow and its canonical output metric lines
+(vPIN_proof_generation/src/main.rs:14-46, proof_point_add.rs:23-113):
+
+    Point Addition Gadget...
+    Number of Point Additions: N
+    Proof size: N bytes
+    Proof generation time: N ms
+    Proof verification time: N ms
+    ...
+    Total proof size / generation time / verification time
+
+Witnesses load either from a WitnessTrace (in-process) or from the
+`rust_files/<tag>` JSON layout for cross-feeding with the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from ..transcript.merlin import Transcript
+from ..gadgets.point_addition import point_addition_gadget
+from ..gadgets.point_mult import point_mult_gadget
+from ..snark import (
+    SNARKGens, cp_commit_witness, cp_snark_prove, cp_snark_verify,
+)
+
+
+def _bytes_to_int(row) -> int:
+    return int.from_bytes(bytes(int(b) & 0xFF for b in row), "little")
+
+
+def load_point_add_json(dir_path: str):
+    d = os.path.join(dir_path, "pointAdd")
+
+    def load(name):
+        with open(os.path.join(d, name)) as fh:
+            return json.load(fh)
+
+    px = [_bytes_to_int(r) for r in load("point_add_px_byte.json")]
+    py = [_bytes_to_int(r) for r in load("point_add_py_byte.json")]
+    rx = [_bytes_to_int(r) for r in load("point_add_rx_byte.json")]
+    ry = [_bytes_to_int(r) for r in load("point_add_ry_byte.json")]
+    rz = [int(v) for v in load("point_add_rz_byte.json")]
+    return px, py, rx, ry, rz
+
+
+def load_point_mult_json(dir_path: str):
+    d = os.path.join(dir_path, "pointMult")
+
+    def load(name):
+        with open(os.path.join(d, name)) as fh:
+            return json.load(fh)
+
+    weights = [int(w) for w in load("weight.json")]
+    px = [_bytes_to_int(r) for r in load("point_mult_px_byte.json")]
+    py = [_bytes_to_int(r) for r in load("point_mult_py_byte.json")]
+    return weights, px, py
+
+
+@dataclass
+class ProofStats:
+    size_bytes: int
+    gen_ms: int
+    ver_ms: int
+
+
+def _prove_gadget(gadget_out, tape_seed: Optional[int], quiet: bool) -> ProofStats:
+    inst, vars_para, vars_input, vars_full, inputs, nc, nv, ni, nnz = gadget_out
+
+    gens = SNARKGens(nc, nv, ni, nnz)
+    poly_vars, comm_vars, blind_vars, comm_para, comm_input = \
+        cp_commit_witness(vars_para, vars_input, vars_full, gens,
+                          tape_seed=tape_seed)
+
+    pt = Transcript(b"snark_example")
+    proof = cp_snark_prove(inst, vars_full, inputs, gens, pt,
+                           poly_vars, comm_vars, blind_vars,
+                           tape_seed=tape_seed)
+    return proof, inst, inputs, gens, comm_para, comm_input
+
+
+def prove_point_add(px, py, rx, ry, rz, tape_seed=None,
+                    quiet=False) -> ProofStats:
+    t0 = time.time()
+    if not quiet:
+        print("Point Addition Gadget...")
+        print(f"Number of Point Additions: {len(px)}")
+    gadget = point_addition_gadget(px, py, rx, ry, rz)
+    proof, inst, inputs, gens, comm_para, comm_input = \
+        _prove_gadget(gadget, tape_seed, quiet)
+    size = proof.size()
+    gen_ms = int((time.time() - t0) * 1000)
+    if not quiet:
+        print(f"Proof size: {size} bytes")
+        print(f"Proof generation time: {gen_ms} ms")
+    t1 = time.time()
+    vt = Transcript(b"snark_example")
+    ok = cp_snark_verify(proof, inst, inputs, vt, gens, comm_para, comm_input)
+    assert ok, "point-add proof verification failed"
+    if not quiet:
+        print("Proof verification successful!")
+    ver_ms = int((time.time() - t1) * 1000)
+    if not quiet:
+        print(f"Proof verification time: {ver_ms} ms")
+    return ProofStats(size, gen_ms, ver_ms)
+
+
+def prove_point_mult(weights, px, py, n_bits=128, tape_seed=None,
+                     quiet=False) -> ProofStats:
+    t0 = time.time()
+    if not quiet:
+        print("Point Multiplication Gadget...")
+        print(f"Number of Point Multiplications: {len(weights)}")
+    gadget = point_mult_gadget(weights, px, py, n=n_bits)
+    proof, inst, inputs, gens, comm_para, comm_input = \
+        _prove_gadget(gadget, tape_seed, quiet)
+    size = proof.size()
+    gen_ms = int((time.time() - t0) * 1000)
+    if not quiet:
+        print(f"Proof size: {size} bytes")
+        print(f"Proof generation time: {gen_ms} ms")
+    t1 = time.time()
+    vt = Transcript(b"snark_example")
+    ok = cp_snark_verify(proof, inst, inputs, vt, gens, comm_para, comm_input)
+    assert ok, "point-mult proof verification failed"
+    if not quiet:
+        print("Proof verification successful!")
+    ver_ms = int((time.time() - t1) * 1000)
+    if not quiet:
+        print(f"Proof verification time: {ver_ms} ms")
+    return ProofStats(size, gen_ms, ver_ms)
+
+
+def prove_tag_dir(dir_path: str, n_bits=128, tape_seed=None,
+                  skip_mult=False) -> Tuple[int, int, int]:
+    """`cargo run -- <tag>` equivalent over a rust_files/<tag> directory."""
+    stats_add = prove_point_add(*load_point_add_json(dir_path),
+                                tape_seed=tape_seed)
+    print("")
+    if skip_mult or not os.path.exists(
+            os.path.join(dir_path, "pointMult", "weight.json")):
+        print("Number of Point Multiplications: 0")
+        print("Proof size: 0 bytes")
+        print("Proof generation time: 0 ms")
+        print("Proof verification time: 0 ms")
+        stats_mult = ProofStats(0, 0, 0)
+    else:
+        weights, px, py = load_point_mult_json(dir_path)
+        if len(weights) == 0:
+            stats_mult = ProofStats(0, 0, 0)
+        else:
+            stats_mult = prove_point_mult(weights, px, py, n_bits=n_bits,
+                                          tape_seed=tape_seed)
+
+    total = (stats_add.size_bytes + stats_mult.size_bytes,
+             stats_add.gen_ms + stats_mult.gen_ms,
+             stats_add.ver_ms + stats_mult.ver_ms)
+    print("\n====================================")
+    print(f"Total proof size: {total[0]} bytes")
+    print(f"Total proof generation time: {total[1]} ms")
+    print(f"Total proof verification time: {total[2]} ms")
+    print("====================================")
+    return total
+
+
+def prove_trace(trace, n_bits=128, tape_seed=None,
+                mult_slice=None, add_slice=None) -> Tuple[int, int, int]:
+    """Prove directly from an in-process WitnessTrace (no JSON round trip)."""
+    fin = trace.finalize()
+    ms = slice(*(mult_slice or (0, len(fin["mult_scalars"]))))
+    as_ = slice(*(add_slice or (0, len(fin["add_px"]))))
+
+    add_rz = [1 if i else 0 for i in fin["add_r_inf"][as_]]
+    stats_add = prove_point_add(
+        [int(v) for v in fin["add_px"][as_]],
+        [int(v) for v in fin["add_py"][as_]],
+        [int(v) for v in fin["add_rx"][as_]],
+        [int(v) for v in fin["add_ry"][as_]],
+        add_rz, tape_seed=tape_seed)
+    print("")
+    weights = [int(w) for w in fin["mult_scalars"][ms]]
+    if weights:
+        stats_mult = prove_point_mult(
+            weights,
+            [int(v) for v in fin["mult_px"][ms]],
+            [int(v) for v in fin["mult_py"][ms]],
+            n_bits=n_bits, tape_seed=tape_seed)
+    else:
+        print("Number of Point Multiplications: 0")
+        stats_mult = ProofStats(0, 0, 0)
+
+    total = (stats_add.size_bytes + stats_mult.size_bytes,
+             stats_add.gen_ms + stats_mult.gen_ms,
+             stats_add.ver_ms + stats_mult.ver_ms)
+    print("\n====================================")
+    print(f"Total proof size: {total[0]} bytes")
+    print(f"Total proof generation time: {total[1]} ms")
+    print(f"Total proof verification time: {total[2]} ms")
+    print("====================================")
+    return total
