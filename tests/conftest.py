@@ -20,9 +20,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the limb-decomposed field kernels produce
-# sizable HLO graphs; cache them across pytest runs.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: the persistent compilation cache (jax_compilation_cache_dir) is
+# deliberately NOT enabled: this jaxlib's executable serializer segfaults
+# (put_executable_and_time) on some of our kernels.  Shape-canonicalizing
+# padded ops (curve/padded.py) keep the in-process compile count low
+# instead.

@@ -1,0 +1,136 @@
+"""Fixed-point accuracy harness (reference: src/accuracy/train_test_lenet5.py).
+
+Trains a LeNet-5 in PyTorch (CPU) and compares float inference against
+the protocol's fixed-point-with-truncation forward pass (f=16 fractional
+bits, truncation bit-widths 35/33/32/33 between layers — reference
+forwardFixedPointWithTrunc at :46-64), validating that the quantization
+the encrypted protocol performs does not change predictions.
+
+MNIST needs a local copy (this environment has no network egress);
+without one, a synthetic separable dataset exercises the same code path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+FRACTION_BITS = 16
+TRUNC_BITS = (35, 33, 32, 33)
+
+
+def _torch():
+    import torch
+    import torch.nn as nn
+    return torch, nn
+
+
+def build_lenet5():
+    torch, nn = _torch()
+
+    class LeNet5(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(1, 6, 5)
+            self.pool = nn.AvgPool2d(2, 2)
+            self.conv2 = nn.Conv2d(6, 16, 5)
+            self.conv3 = nn.Conv2d(16, 120, 5)
+            self.fc1 = nn.Linear(120, 84)
+            self.fc2 = nn.Linear(84, 10)
+            self.relu = nn.ReLU()
+
+        def forward(self, x):
+            x = self.pool(self.relu(self.conv1(x)))
+            x = self.pool(self.relu(self.conv2(x)))
+            x = self.relu(self.conv3(x))
+            x = x.flatten(1)
+            x = self.relu(self.fc1(x))
+            return self.fc2(x)
+
+    return LeNet5()
+
+
+def forward_fixed_point_with_trunc(model, x, fraction_bits=FRACTION_BITS,
+                                   trunc_bits=TRUNC_BITS):
+    """Quantized forward: weights/activations at f fractional bits, with
+    the protocol's truncation schedule between layers."""
+    torch, _ = _torch()
+    scale = 2 ** fraction_bits
+
+    def q(t):
+        return torch.round(t * scale)
+
+    def trunc(t, bits):
+        return torch.round(t / (2 ** bits) * scale)
+
+    with torch.no_grad():
+        w1, b1 = q(model.conv1.weight), q(model.conv1.bias)
+        z = torch.nn.functional.conv2d(q(x), w1)                # scale 2f
+        z = torch.nn.functional.avg_pool2d(torch.relu(z), 2, 2)
+        z = trunc(z, trunc_bits[0] - fraction_bits)
+        w2, b2 = q(model.conv2.weight), q(model.conv2.bias)
+        z = torch.nn.functional.conv2d(z, w2)
+        z = torch.nn.functional.avg_pool2d(torch.relu(z), 2, 2)
+        z = trunc(z, trunc_bits[1] - fraction_bits)
+        w3, _ = q(model.conv3.weight), q(model.conv3.bias)
+        z = torch.relu(torch.nn.functional.conv2d(z, w3))
+        z = trunc(z, trunc_bits[2] - fraction_bits)
+        z = z.flatten(1)
+        z = torch.relu(z @ q(model.fc1.weight).T + q(model.fc1.bias) * scale)
+        z = trunc(z, trunc_bits[3] - fraction_bits)
+        z = z @ q(model.fc2.weight).T + q(model.fc2.bias) * scale
+        return z
+
+
+def synthetic_dataset(n=512, seed=0):
+    rng = np.random.RandomState(seed)
+    xs = rng.uniform(0, 1, (n, 1, 28, 28)).astype(np.float32)
+    ys = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        cls = i % 10
+        xs[i, 0, cls * 2: cls * 2 + 3, 5:23] += 2.0
+        ys[i] = cls
+    xs = xs / xs.max()
+    return xs, ys
+
+
+def run_accuracy_eval(data: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                      epochs: int = 3, seed: int = 0):
+    """Returns (float_acc, fixed_acc, agreement)."""
+    torch, nn = _torch()
+    torch.manual_seed(seed)
+
+    xs, ys = data if data is not None else synthetic_dataset()
+    n_train = int(0.8 * len(xs))
+    xtr = torch.tensor(xs[:n_train])
+    ytr = torch.tensor(ys[:n_train])
+    xte = torch.tensor(xs[n_train:])
+    yte = torch.tensor(ys[n_train:])
+
+    model = build_lenet5()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    loss_fn = nn.CrossEntropyLoss()
+    for _ in range(epochs):
+        for i in range(0, len(xtr), 64):
+            xb, yb = xtr[i:i + 64], ytr[i:i + 64]
+            opt.zero_grad()
+            loss = loss_fn(model(xb), yb)
+            loss.backward()
+            opt.step()
+
+    model.eval()
+    with torch.no_grad():
+        pred_f = model(xte).argmax(1)
+        pred_q = forward_fixed_point_with_trunc(model, xte).argmax(1)
+    float_acc = float((pred_f == yte).float().mean())
+    fixed_acc = float((pred_q == yte).float().mean())
+    agreement = float((pred_f == pred_q).float().mean())
+    return float_acc, fixed_acc, agreement
+
+
+if __name__ == "__main__":
+    fa, qa, ag = run_accuracy_eval()
+    print(f"float accuracy:        {fa:.4f}")
+    print(f"fixed-point accuracy:  {qa:.4f}")
+    print(f"prediction agreement:  {ag:.4f}")

@@ -31,8 +31,23 @@ from .r1csproof import (
 SNARK_PROTOCOL = b"Spartan SNARK proof"
 
 
+def snark_encode(inst: R1CSInstance, gens: "SNARKGens"):
+    """SNARK::encode: commit to the R1CS matrices (reference lib.rs:340-358).
+    Returns (SparseMatPolyCommitment, dense decommitment)."""
+    from ..spark.sparse_mlpoly import multi_commit
+    num_poly_vars_x = inst.num_cons.bit_length() - 1
+    num_poly_vars_y = (2 * inst.num_vars).bit_length() - 1
+    return multi_commit([inst.A, inst.B, inst.C], num_poly_vars_x,
+                        num_poly_vars_y, gens.gens_r1cs_eval)
+
+
+def _ceil_log2(n: int) -> int:
+    assert n > 0
+    return (n - 1).bit_length() if n > 1 else 0
+
+
 class SNARKGens:
-    """reference: lib.rs:295-327 (eval-gens deferred to the SPARK module)."""
+    """reference: lib.rs:295-327."""
 
     def __init__(self, num_cons: int, num_vars: int, num_inputs: int,
                  num_nz_entries: int):
@@ -40,6 +55,7 @@ class SNARKGens:
         if num_vars_padded & (num_vars_padded - 1):
             num_vars_padded = 1 << num_vars_padded.bit_length()
         self.num_vars_padded = num_vars_padded
+        self.num_cons = num_cons
         self.gens_r1cs_sat = R1CSGens(b"gens_r1cs_sat", num_cons, num_vars_padded)
         self.num_nz_entries = num_nz_entries
         self._gens_r1cs_eval = None
@@ -48,10 +64,12 @@ class SNARKGens:
     def gens_r1cs_eval(self):
         if self._gens_r1cs_eval is None:
             from ..spark.sparse_mlpoly import SparseMatPolyCommitmentGens
+            # reference R1CSCommitmentGens::new (r1csinstance.rs:33-49)
+            num_poly_vars_x = _ceil_log2(max(self.num_cons, 2))
+            num_poly_vars_y = _ceil_log2(2 * self.num_vars_padded)
             self._gens_r1cs_eval = SparseMatPolyCommitmentGens(
-                b"gens_r1cs_eval",
-                num_vars_x=None, num_vars_y=None, num_nz_entries=self.num_nz_entries,
-                batch_size=3)
+                b"gens_r1cs_eval", num_poly_vars_x, num_poly_vars_y,
+                self.num_nz_entries, batch_size=3)
         return self._gens_r1cs_eval
 
 

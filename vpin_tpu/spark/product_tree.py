@@ -1,0 +1,281 @@
+"""Batched grand-product / dot-product circuits (SPARK's GKR-style layer).
+
+TPU-native counterpart of Spartan's product_tree.rs: all same-shape
+circuits are held STACKED as (K, len, 16) device arrays, so each tree
+layer and each sumcheck round evaluation is one fused batched kernel
+instead of K separate scalar loops.  Transcript behavior replicates
+ProductCircuitEvalProofBatched::prove/verify and
+SumcheckInstanceProof::prove_cubic_batched bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field.prime_field import FQ, L_MODULUS as L
+from ..poly.dense import eq_evals, ints_to_dev
+from ..sumcheck.sumcheck import UniPoly
+from ..transcript.merlin import Transcript
+
+
+@jax.jit
+def _layer_step(left, right):
+    """One product-tree layer: (K, 2n) values -> (K, n) left/right halves
+    of the next layer (reference ProductCircuit::compute_layer)."""
+    prod = FQ.mul(left, right)                 # (K, n)
+    n = prod.shape[1] // 2
+    return prod[:, :n], prod[:, n:]
+
+
+@jax.jit
+def _round_evals_cubic_batched(A, B, C):
+    """Per-instance cubic round evals over stacked tables (K, len, 16);
+    returns e0, e2, e3 each (K, 16)."""
+    n = A.shape[1] // 2
+
+    def comb(a, b, c):
+        return FQ.mul(FQ.mul(a, b), c)
+
+    halves = [(t[:, :n], t[:, n:]) for t in (A, B, C)]
+    e0 = FQ.sum_reduce(comb(*(lo for lo, _ in halves)), axis=1)
+    b2 = [FQ.sub(FQ.add(hi, hi), lo) for lo, hi in halves]
+    e2 = FQ.sum_reduce(comb(*b2), axis=1)
+    b3 = [FQ.add(v, FQ.sub(hi, lo)) for v, (lo, hi) in zip(b2, halves)]
+    e3 = FQ.sum_reduce(comb(*b3), axis=1)
+    return e0, e2, e3
+
+
+@jax.jit
+def _bound_top_batched(Z, r_dev):
+    n = Z.shape[1] // 2
+    lo, hi = Z[:, :n], Z[:, n:]
+    return FQ.add(lo, FQ.mul(jnp.broadcast_to(r_dev, lo.shape), FQ.sub(hi, lo)))
+
+
+def _ints(arr) -> List[int]:
+    return [int(v) for v in FQ.from_mont(arr).reshape(-1)]
+
+
+class BatchedProductCircuits:
+    """K product circuits over equal-length inputs, layers stacked."""
+
+    def __init__(self, inputs: jnp.ndarray):
+        """inputs: (K, n, 16) hashed leaf values, n a power of two."""
+        K, n, _ = inputs.shape
+        self.K, self.n = K, n
+        self.left_layers: List[jnp.ndarray] = []
+        self.right_layers: List[jnp.ndarray] = []
+        left, right = inputs[:, : n // 2], inputs[:, n // 2:]
+        self.left_layers.append(left)
+        self.right_layers.append(right)
+        num_layers = n.bit_length() - 1
+        for _ in range(num_layers - 1):
+            left, right = _layer_step(self.left_layers[-1], self.right_layers[-1])
+            self.left_layers.append(left)
+            self.right_layers.append(right)
+
+    def evaluate(self) -> List[int]:
+        prod = FQ.mul(self.left_layers[-1][:, 0], self.right_layers[-1][:, 0])
+        return _ints(prod)
+
+
+@dataclass
+class BatchedDotProducts:
+    """K2 dot-product circuits (left*right*weight summed), stacked."""
+    left: jnp.ndarray      # (K2, m, 16)
+    right: jnp.ndarray
+    weight: jnp.ndarray
+
+    def evaluate(self) -> List[int]:
+        s = FQ.sum_reduce(FQ.mul(FQ.mul(self.left, self.right), self.weight),
+                          axis=1)
+        return _ints(s)
+
+    @property
+    def k(self):
+        return self.left.shape[0]
+
+
+@dataclass
+class LayerProofBatched:
+    compressed_polys: List[List[int]]   # SumcheckInstanceProof rounds
+    claims_prod_left: List[int]
+    claims_prod_right: List[int]
+
+
+@dataclass
+class ProductCircuitEvalProofBatched:
+    proof: List[LayerProofBatched]
+    claims_dotp: Tuple[List[int], List[int], List[int]]
+
+    @staticmethod
+    def prove(prod: BatchedProductCircuits,
+              dotp: Optional[BatchedDotProducts],
+              transcript: Transcript):
+        claims_dotp_final: Tuple[List[int], List[int], List[int]] = ([], [], [])
+        proof_layers: List[LayerProofBatched] = []
+        num_layers = len(prod.left_layers)
+        claims_to_verify = prod.evaluate()
+        rand: List[int] = []
+
+        # mutable working copies of the stacked layer tables
+        for layer_id in reversed(range(num_layers)):
+            A = prod.left_layers[layer_id]
+            B = prod.right_layers[layer_id]
+            length = 2 * A.shape[1]
+            C_shared = eq_evals(rand)                   # (len/2, 16)
+            assert C_shared.shape[0] == length // 2
+            num_rounds = (length // 2).bit_length() - 1
+
+            seq_active = layer_id == 0 and dotp is not None and dotp.k > 0
+            if seq_active:
+                claims_to_verify = claims_to_verify + dotp.evaluate()
+                seqA, seqB, seqC = dotp.left, dotp.right, dotp.weight
+
+            coeffs = transcript.challenge_vector(b"rand_coeffs_next_layer",
+                                                 len(claims_to_verify))
+            e = sum(c * v for c, v in zip(coeffs, claims_to_verify)) % L
+
+            polys: List[List[int]] = []
+            r_prod: List[int] = []
+            Cb = jnp.broadcast_to(C_shared[None], A.shape)
+            for _ in range(num_rounds):
+                e0v, e2v, e3v = _round_evals_cubic_batched(A, B, Cb)
+                e0s, e2s, e3s = _ints(e0v), _ints(e2v), _ints(e3v)
+                if seq_active:
+                    f0, f2, f3 = _round_evals_cubic_batched(seqA, seqB, seqC)
+                    e0s += _ints(f0)
+                    e2s += _ints(f2)
+                    e3s += _ints(f3)
+                ec0 = sum(c * v for c, v in zip(coeffs, e0s)) % L
+                ec2 = sum(c * v for c, v in zip(coeffs, e2s)) % L
+                ec3 = sum(c * v for c, v in zip(coeffs, e3s)) % L
+                poly = UniPoly.from_evals([ec0, (e - ec0) % L, ec2, ec3])
+                poly.append_to_transcript(b"poly", transcript)
+                r_j = transcript.challenge_scalar(b"challenge_nextround")
+                r_prod.append(r_j)
+                rdev = FQ.to_mont([r_j])
+                A = _bound_top_batched(A, rdev)
+                B = _bound_top_batched(B, rdev)
+                Cb = _bound_top_batched(Cb, rdev)
+                if seq_active:
+                    seqA = _bound_top_batched(seqA, rdev)
+                    seqB = _bound_top_batched(seqB, rdev)
+                    seqC = _bound_top_batched(seqC, rdev)
+                e = poly.evaluate(r_j)
+                polys.append(poly.compress())
+
+            claims_prod_left = _ints(A[:, 0])
+            claims_prod_right = _ints(B[:, 0])
+            for i in range(prod.K):
+                transcript.append_scalar(b"claim_prod_left", claims_prod_left[i])
+                transcript.append_scalar(b"claim_prod_right", claims_prod_right[i])
+
+            if seq_active:
+                cl = _ints(seqA[:, 0])
+                cr = _ints(seqB[:, 0])
+                cw = _ints(seqC[:, 0])
+                for i in range(dotp.k):
+                    transcript.append_scalar(b"claim_dotp_left", cl[i])
+                    transcript.append_scalar(b"claim_dotp_right", cr[i])
+                    transcript.append_scalar(b"claim_dotp_weight", cw[i])
+                claims_dotp_final = (cl, cr, cw)
+
+            r_layer = transcript.challenge_scalar(b"challenge_r_layer")
+            claims_to_verify = [
+                (claims_prod_left[i] + r_layer *
+                 (claims_prod_right[i] - claims_prod_left[i])) % L
+                for i in range(prod.K)]
+            rand = [r_layer] + r_prod
+
+            proof_layers.append(LayerProofBatched(
+                polys, claims_prod_left, claims_prod_right))
+
+        return (ProductCircuitEvalProofBatched(proof_layers, claims_dotp_final),
+                rand)
+
+    def verify(self, claims_prod_vec: List[int], claims_dotp_vec: List[int],
+               length: int, transcript: Transcript):
+        num_layers = length.bit_length() - 1
+        rand: List[int] = []
+        assert len(self.proof) == num_layers
+        claims_to_verify = list(claims_prod_vec)
+        claims_to_verify_dotp: List[int] = []
+        for num_rounds, i in enumerate(range(num_layers)):
+            if i == num_layers - 1:
+                claims_to_verify = claims_to_verify + list(claims_dotp_vec)
+            coeffs = transcript.challenge_vector(b"rand_coeffs_next_layer",
+                                                 len(claims_to_verify))
+            claim = sum(c * v for c, v in zip(coeffs, claims_to_verify)) % L
+
+            # non-ZK sumcheck verify, degree 3
+            e = claim
+            r_prod: List[int] = []
+            assert len(self.proof[i].compressed_polys) == num_rounds
+            for comp in self.proof[i].compressed_polys:
+                poly = UniPoly.decompress(comp, e)
+                assert poly.degree == 3
+                assert (poly.eval_at_zero() + poly.eval_at_one()) % L == e
+                poly.append_to_transcript(b"poly", transcript)
+                r_j = transcript.challenge_scalar(b"challenge_nextround")
+                r_prod.append(r_j)
+                e = poly.evaluate(r_j)
+            claim_last = e
+
+            cpl = self.proof[i].claims_prod_left
+            cpr = self.proof[i].claims_prod_right
+            assert len(cpl) == len(claims_prod_vec)
+            for t in range(len(claims_prod_vec)):
+                transcript.append_scalar(b"claim_prod_left", cpl[t])
+                transcript.append_scalar(b"claim_prod_right", cpr[t])
+
+            assert len(rand) == len(r_prod)
+            eq = 1
+            for a, b in zip(rand, r_prod):
+                eq = eq * (a * b + (1 - a) * (1 - b)) % L
+            claim_expected = sum(coeffs[t] * cpl[t] % L * cpr[t] % L * eq
+                                 for t in range(len(claims_prod_vec))) % L
+
+            if i == num_layers - 1:
+                npi = len(claims_prod_vec)
+                cdl, cdr, cdw = self.claims_dotp
+                for t in range(len(cdl)):
+                    transcript.append_scalar(b"claim_dotp_left", cdl[t])
+                    transcript.append_scalar(b"claim_dotp_right", cdr[t])
+                    transcript.append_scalar(b"claim_dotp_weight", cdw[t])
+                    claim_expected = (claim_expected + coeffs[t + npi] *
+                                      cdl[t] % L * cdr[t] % L * cdw[t]) % L
+
+            if claim_expected % L != claim_last % L:
+                raise AssertionError("product layer claim mismatch")
+
+            r_layer = transcript.challenge_scalar(b"challenge_r_layer")
+            claims_to_verify = [
+                (cpl[t] + r_layer * (cpr[t] - cpl[t])) % L
+                for t in range(len(cpl))]
+            if i == num_layers - 1:
+                cdl, cdr, cdw = self.claims_dotp
+                for t in range(len(claims_dotp_vec) // 2):
+                    claims_to_verify_dotp.append(
+                        (cdl[2 * t] + r_layer * (cdl[2 * t + 1] - cdl[2 * t])) % L)
+                    claims_to_verify_dotp.append(
+                        (cdr[2 * t] + r_layer * (cdr[2 * t + 1] - cdr[2 * t])) % L)
+                    claims_to_verify_dotp.append(
+                        (cdw[2 * t] + r_layer * (cdw[2 * t + 1] - cdw[2 * t])) % L)
+            rand = [r_layer] + r_prod
+        return claims_to_verify, claims_to_verify_dotp, rand
+
+    def size(self) -> int:
+        s = 8
+        for lp in self.proof:
+            s += 8
+            for comp in lp.compressed_polys:
+                s += 8 + 32 * len(comp)
+            s += 2 * (8 + 32 * len(lp.claims_prod_left))
+        s += 3 * 8 + 32 * sum(len(x) for x in self.claims_dotp)
+        return s

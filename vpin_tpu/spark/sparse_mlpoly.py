@@ -1,0 +1,747 @@
+"""SPARK: sparse multilinear polynomial commitment + evaluation proof
+(the R1CS "eval proof" — Spartan's most intricate component).
+
+TPU-native counterpart of Spartan/src/sparse_mlpoly.rs:
+  * offline-memory-checking timestamps (AddrTimestamps) computed with
+    vectorized numpy group-ranking instead of the reference's sequential
+    per-op loop (:240-266);
+  * hashed multiset leaves, grand-product trees, and all sumcheck round
+    evaluations run as stacked batched device kernels;
+  * Hyrax commitments of comb_ops / comb_mem via the batched MSM path;
+  * transcript layels and proof structure replicate the reference
+    bit-for-bit (HashLayerProof, ProductLayerProof, PolyEvalNetworkProof,
+    SparseMatPolyEvalProof).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field.prime_field import FQ, L_MODULUS as L
+from ..poly.dense import DensePoly, eq_evals, eq_eval_single, ints_to_dev, dev_to_ints
+from ..transcript.merlin import Transcript, RandomTape
+from ..snark.r1csproof import PolyCommitmentGens, PolyCommitment, PolyEvalProof, poly_commit
+from ..nizk.sigma import append_scalars_vector, commit1
+from .product_tree import (
+    BatchedDotProducts, BatchedProductCircuits, ProductCircuitEvalProofBatched,
+)
+
+
+def _next_pow2(n: int) -> int:
+    m = 1
+    while m < max(n, 1):
+        m *= 2
+    return m
+
+
+def _log2(n: int) -> int:
+    return n.bit_length() - 1
+
+
+# ----------------------------------------------------------------------
+# dense representation with memory-checking timestamps
+# ----------------------------------------------------------------------
+
+class AddrTimestamps:
+    """reference sparse_mlpoly.rs:224-283, vectorized."""
+
+    def __init__(self, num_cells: int, num_ops: int,
+                 ops_addr: List[np.ndarray]):
+        self.num_cells = num_cells
+        self.num_ops = num_ops
+        self.ops_addr = [np.asarray(a, dtype=np.int64) for a in ops_addr]
+        audit = np.zeros(num_cells, dtype=np.int64)
+        self.read_ts: List[np.ndarray] = []
+        for addr in self.ops_addr:
+            # occurrence rank of each op among equal addresses (stable)
+            order = np.argsort(addr, kind="stable")
+            sorted_addr = addr[order]
+            start = np.r_[True, sorted_addr[1:] != sorted_addr[:-1]]
+            group_start = np.maximum.accumulate(
+                np.where(start, np.arange(num_ops), 0))
+            rank = np.arange(num_ops) - group_start
+            occ = np.empty(num_ops, dtype=np.int64)
+            occ[order] = rank
+            read_ts = audit[addr] + occ
+            self.read_ts.append(read_ts)
+            np.add.at(audit, addr, 1)
+        self.audit_ts = audit
+
+    def deref(self, mem_val_dev: jnp.ndarray) -> List[jnp.ndarray]:
+        return [mem_val_dev[jnp.asarray(addr)] for addr in self.ops_addr]
+
+
+class MultiSparseMatPolynomialAsDense:
+    def __init__(self, sparse_mats, num_vars_x: int, num_vars_y: int):
+        """sparse_mats: list of SparseMat-like with .entries (row, col, val)."""
+        self.batch_size = len(sparse_mats)
+        self.num_vars_x = num_vars_x
+        self.num_vars_y = num_vars_y
+        N = max(_next_pow2(len(m.entries)) for m in sparse_mats)
+        self.N = N
+
+        ops_row, ops_col, vals = [], [], []
+        for m in sparse_mats:
+            row = np.zeros(N, dtype=np.int64)
+            col = np.zeros(N, dtype=np.int64)
+            val = [0] * N
+            for i, (r, c, v) in enumerate(m.entries):
+                row[i] = r
+                col[i] = c
+                val[i] = v % L
+            ops_row.append(row)
+            ops_col.append(col)
+            vals.append(val)
+
+        self.num_mem_cells = 1 << max(num_vars_x, num_vars_y)
+        self.row = AddrTimestamps(self.num_mem_cells, N, ops_row)
+        self.col = AddrTimestamps(self.num_mem_cells, N, ops_col)
+        self.val_dev = [ints_to_dev(v) for v in vals]
+
+        # comb_ops = merge(row.addr x3, row.read_ts x3, col.addr x3,
+        #                  col.read_ts x3, val x3), zero-padded to pow2
+        parts = ([ints_to_dev([int(x) for x in a]) for a in self.row.ops_addr]
+                 + [ints_to_dev([int(x) for x in t]) for t in self.row.read_ts]
+                 + [ints_to_dev([int(x) for x in a]) for a in self.col.ops_addr]
+                 + [ints_to_dev([int(x) for x in t]) for t in self.col.read_ts]
+                 + list(self.val_dev))
+        total = sum(p.shape[0] for p in parts)
+        pad = _next_pow2(total) - total
+        chunks = parts + ([FQ.zeros((pad,))] if pad else [])
+        self.comb_ops = DensePoly(jnp.concatenate(chunks, axis=0))
+        mem = jnp.concatenate(
+            [ints_to_dev([int(x) for x in self.row.audit_ts]),
+             ints_to_dev([int(x) for x in self.col.audit_ts])], axis=0)
+        self.comb_mem = DensePoly(mem)
+
+
+class SparseMatPolyCommitmentGens:
+    """reference sparse_mlpoly.rs:295-330."""
+
+    def __init__(self, label: bytes, num_vars_x: int, num_vars_y: int,
+                 num_nz_entries: int, batch_size: int = 3):
+        num_vars_ops = _log2(_next_pow2(num_nz_entries)) + \
+            _log2(_next_pow2(batch_size * 5))
+        num_vars_mem = max(num_vars_x, num_vars_y) + 1
+        num_vars_derefs = _log2(_next_pow2(num_nz_entries)) + \
+            _log2(_next_pow2(batch_size * 2))
+        self.gens_ops = PolyCommitmentGens(num_vars_ops, label)
+        self.gens_mem = PolyCommitmentGens(num_vars_mem, label)
+        self.gens_derefs = PolyCommitmentGens(num_vars_derefs, label)
+
+
+@dataclass
+class SparseMatPolyCommitment:
+    batch_size: int
+    num_ops: int
+    num_mem_cells: int
+    comm_comb_ops: PolyCommitment
+    comm_comb_mem: PolyCommitment
+
+    def append_to_transcript(self, _label: bytes, t: Transcript) -> None:
+        t.append_message(b"batch_size", self.batch_size.to_bytes(8, "little"))
+        t.append_message(b"num_ops", self.num_ops.to_bytes(8, "little"))
+        t.append_message(b"num_mem_cells",
+                         self.num_mem_cells.to_bytes(8, "little"))
+        self.comm_comb_ops.append_to_transcript(b"comm_comb_ops", t)
+        self.comm_comb_mem.append_to_transcript(b"comm_comb_mem", t)
+
+    def size(self) -> int:
+        return 3 * 8 + self.comm_comb_ops.size() + self.comm_comb_mem.size()
+
+
+def multi_commit(sparse_mats, num_vars_x, num_vars_y,
+                 gens: SparseMatPolyCommitmentGens):
+    dense = MultiSparseMatPolynomialAsDense(sparse_mats, num_vars_x, num_vars_y)
+    comm_ops, _ = poly_commit(dense.comb_ops, gens.gens_ops, None)
+    comm_mem, _ = poly_commit(dense.comb_mem, gens.gens_mem, None)
+    return (SparseMatPolyCommitment(
+        dense.batch_size, dense.N, dense.num_mem_cells, comm_ops, comm_mem),
+        dense)
+
+
+# ----------------------------------------------------------------------
+# derefs
+# ----------------------------------------------------------------------
+
+class Derefs:
+    def __init__(self, row_ops_val: List[jnp.ndarray],
+                 col_ops_val: List[jnp.ndarray]):
+        self.row_ops_val = row_ops_val
+        self.col_ops_val = col_ops_val
+        parts = list(row_ops_val) + list(col_ops_val)
+        total = sum(p.shape[0] for p in parts)
+        pad = _next_pow2(total) - total
+        chunks = parts + ([FQ.zeros((pad,))] if pad else [])
+        self.comb = DensePoly(jnp.concatenate(chunks, axis=0))
+
+    def commit(self, gens: PolyCommitmentGens) -> PolyCommitment:
+        comm, _ = poly_commit(self.comb, gens, None)
+        return comm
+
+
+def derefs_commitment_append(comm: PolyCommitment, label: bytes,
+                             t: Transcript) -> None:
+    t.append_message(b"derefs_commitment", b"begin_derefs_commitment")
+    comm.append_to_transcript(label, t)
+    t.append_message(b"derefs_commitment", b"end_derefs_commitment")
+
+
+@dataclass
+class DerefsEvalProof:
+    proof_derefs: PolyEvalProof
+
+    PROTOCOL = b"Derefs evaluation proof"
+
+    @staticmethod
+    def _bound_bot_ints(evals: List[int], challenges: List[int]) -> int:
+        vals = [v % L for v in evals]
+        for c in reversed(challenges):
+            vals = [(vals[2 * i] + c * (vals[2 * i + 1] - vals[2 * i])) % L
+                    for i in range(len(vals) // 2)]
+        assert len(vals) == 1
+        return vals[0]
+
+    @staticmethod
+    def prove_single(joint_poly: DensePoly, r: Sequence[int],
+                     evals: List[int], gens: PolyCommitmentGens,
+                     transcript: Transcript, tape: RandomTape) -> PolyEvalProof:
+        assert joint_poly.num_vars == len(r) + _log2(len(evals))
+        append_scalars_vector(transcript, b"evals_ops_val", evals)
+        challenges = transcript.challenge_vector(
+            b"challenge_combine_n_to_one", _log2(len(evals)))
+        joint_eval = DerefsEvalProof._bound_bot_ints(evals, challenges)
+        r_joint = list(challenges) + list(r)
+        transcript.append_scalar(b"joint_claim_eval", joint_eval)
+        proof, _ = PolyEvalProof.prove(joint_poly, None, r_joint, joint_eval,
+                                       None, gens, transcript, tape)
+        return proof
+
+    @staticmethod
+    def prove(derefs: Derefs, eval_row: List[int], eval_col: List[int],
+              r: Sequence[int], gens: PolyCommitmentGens,
+              transcript: Transcript, tape: RandomTape) -> "DerefsEvalProof":
+        transcript.append_protocol_name(DerefsEvalProof.PROTOCOL)
+        evals = list(eval_row) + list(eval_col)
+        evals += [0] * (_next_pow2(len(evals)) - len(evals))
+        return DerefsEvalProof(DerefsEvalProof.prove_single(
+            derefs.comb, r, evals, gens, transcript, tape))
+
+    def verify(self, r: Sequence[int], eval_row: List[int],
+               eval_col: List[int], gens: PolyCommitmentGens,
+               comm: PolyCommitment, transcript: Transcript) -> bool:
+        transcript.append_protocol_name(DerefsEvalProof.PROTOCOL)
+        evals = list(eval_row) + list(eval_col)
+        evals += [0] * (_next_pow2(len(evals)) - len(evals))
+        append_scalars_vector(transcript, b"evals_ops_val", evals)
+        challenges = transcript.challenge_vector(
+            b"challenge_combine_n_to_one", _log2(len(evals)))
+        joint_eval = DerefsEvalProof._bound_bot_ints(evals, challenges)
+        r_joint = list(challenges) + list(r)
+        transcript.append_scalar(b"joint_claim_eval", joint_eval)
+        # verify_plain: commitment to joint_eval with zero blind
+        C_Zr = commit1(joint_eval, 0, gens.gens.gens_1).compress()
+        return self.proof_derefs.verify(gens, transcript, r_joint, C_Zr, comm)
+
+    def size(self) -> int:
+        return self.proof_derefs.size()
+
+
+# ----------------------------------------------------------------------
+# hashed multiset layers
+# ----------------------------------------------------------------------
+
+@jax.jit
+def _hash_leaves(addr, val, ts, r_hash_dev, r_hash_sqr_dev, r_multiset_dev):
+    """hash(addr, val, ts) - r_multiset, elementwise on (n, 16) tables."""
+    h = FQ.add(FQ.add(FQ.mul(ts, jnp.broadcast_to(r_hash_sqr_dev, ts.shape)),
+                      FQ.mul(val, jnp.broadcast_to(r_hash_dev, val.shape))),
+               addr)
+    return FQ.sub(h, jnp.broadcast_to(r_multiset_dev, h.shape))
+
+
+class Layers:
+    """Product circuits over the hashed (init, read x3, write x3, audit)
+    multisets for one address space (row or col)."""
+
+    def __init__(self, eval_table_dev: jnp.ndarray, addr_ts: AddrTimestamps,
+                 ops_val_dev: List[jnp.ndarray], r_mem_check: Tuple[int, int]):
+        r_hash, r_multiset = r_mem_check
+        rh = FQ.to_mont([r_hash])
+        rh2 = FQ.to_mont([r_hash * r_hash % L])
+        rm = FQ.to_mont([r_multiset])
+
+        num_cells = eval_table_dev.shape[0]
+        ident = ints_to_dev(list(range(num_cells)))
+        zero_ts = FQ.zeros((num_cells,))
+        audit_ts = ints_to_dev([int(x) for x in addr_ts.audit_ts])
+        self.init_leaves = _hash_leaves(ident, eval_table_dev, zero_ts, rh, rh2, rm)
+        self.audit_leaves = _hash_leaves(ident, eval_table_dev, audit_ts, rh, rh2, rm)
+
+        one = FQ.ones((addr_ts.num_ops,))
+        self.read_leaves = []
+        self.write_leaves = []
+        for i in range(len(addr_ts.ops_addr)):
+            addr = ints_to_dev([int(x) for x in addr_ts.ops_addr[i]])
+            rts = ints_to_dev([int(x) for x in addr_ts.read_ts[i]])
+            wts = FQ.add(rts, one)
+            self.read_leaves.append(
+                _hash_leaves(addr, ops_val_dev[i], rts, rh, rh2, rm))
+            self.write_leaves.append(
+                _hash_leaves(addr, ops_val_dev[i], wts, rh, rh2, rm))
+
+
+# ----------------------------------------------------------------------
+# HashLayerProof
+# ----------------------------------------------------------------------
+
+@dataclass
+class HashLayerProof:
+    eval_row: Tuple[List[int], List[int], int]
+    eval_col: Tuple[List[int], List[int], int]
+    eval_val: List[int]
+    eval_derefs: Tuple[List[int], List[int]]
+    proof_ops: PolyEvalProof
+    proof_mem: PolyEvalProof
+    proof_derefs: DerefsEvalProof
+
+    PROTOCOL = b"Sparse polynomial hash layer proof"
+
+    @staticmethod
+    def _evaluate_many(polys: List[jnp.ndarray], r: Sequence[int]) -> List[int]:
+        chis = eq_evals(list(r))
+        return [int(FQ.from_mont(FQ.dot(p, chis))) for p in polys]
+
+    @staticmethod
+    def prove(rand: Tuple[List[int], List[int]],
+              dense: MultiSparseMatPolynomialAsDense, derefs: Derefs,
+              gens: SparseMatPolyCommitmentGens, transcript: Transcript,
+              tape: RandomTape) -> "HashLayerProof":
+        transcript.append_protocol_name(HashLayerProof.PROTOCOL)
+        rand_mem, rand_ops = rand
+
+        eval_row_ops_val = HashLayerProof._evaluate_many(derefs.row_ops_val, rand_ops)
+        eval_col_ops_val = HashLayerProof._evaluate_many(derefs.col_ops_val, rand_ops)
+        proof_derefs = DerefsEvalProof.prove(
+            derefs, eval_row_ops_val, eval_col_ops_val, rand_ops,
+            gens.gens_derefs, transcript, tape)
+
+        def helper(ts: AddrTimestamps):
+            addr = HashLayerProof._evaluate_many(
+                [ints_to_dev([int(x) for x in a]) for a in ts.ops_addr], rand_ops)
+            rts = HashLayerProof._evaluate_many(
+                [ints_to_dev([int(x) for x in t]) for t in ts.read_ts], rand_ops)
+            audit = HashLayerProof._evaluate_many(
+                [ints_to_dev([int(x) for x in ts.audit_ts])], rand_mem)[0]
+            return addr, rts, audit
+
+        eval_row_addr, eval_row_read_ts, eval_row_audit_ts = helper(dense.row)
+        eval_col_addr, eval_col_read_ts, eval_col_audit_ts = helper(dense.col)
+        eval_val = HashLayerProof._evaluate_many(dense.val_dev, rand_ops)
+
+        evals_ops = (list(eval_row_addr) + list(eval_row_read_ts)
+                     + list(eval_col_addr) + list(eval_col_read_ts)
+                     + list(eval_val))
+        evals_ops += [0] * (_next_pow2(len(evals_ops)) - len(evals_ops))
+        append_scalars_vector(transcript, b"claim_evals_ops", evals_ops)
+        challenges_ops = transcript.challenge_vector(
+            b"challenge_combine_n_to_one", _log2(len(evals_ops)))
+        joint_ops = DerefsEvalProof._bound_bot_ints(evals_ops, challenges_ops)
+        r_joint_ops = list(challenges_ops) + list(rand_ops)
+        transcript.append_scalar(b"joint_claim_eval_ops", joint_ops)
+        proof_ops, _ = PolyEvalProof.prove(dense.comb_ops, None, r_joint_ops,
+                                           joint_ops, None, gens.gens_ops,
+                                           transcript, tape)
+
+        evals_mem = [eval_row_audit_ts, eval_col_audit_ts]
+        append_scalars_vector(transcript, b"claim_evals_mem", evals_mem)
+        challenges_mem = transcript.challenge_vector(
+            b"challenge_combine_two_to_one", 1)
+        joint_mem = DerefsEvalProof._bound_bot_ints(evals_mem, challenges_mem)
+        r_joint_mem = list(challenges_mem) + list(rand_mem)
+        transcript.append_scalar(b"joint_claim_eval_mem", joint_mem)
+        proof_mem, _ = PolyEvalProof.prove(dense.comb_mem, None, r_joint_mem,
+                                           joint_mem, None, gens.gens_mem,
+                                           transcript, tape)
+
+        return HashLayerProof(
+            (eval_row_addr, eval_row_read_ts, eval_row_audit_ts),
+            (eval_col_addr, eval_col_read_ts, eval_col_audit_ts),
+            eval_val, (eval_row_ops_val, eval_col_ops_val),
+            proof_ops, proof_mem, proof_derefs)
+
+    @staticmethod
+    def _verify_helper(rand_mem, claims, eval_ops_val, eval_ops_addr,
+                       eval_read_ts, eval_audit_ts, r, r_hash, r_multiset):
+        rh2 = r_hash * r_hash % L
+
+        def hfn(addr, val, ts):
+            return (ts * rh2 + val * r_hash + addr) % L
+
+        claim_init, claim_read, claim_write, claim_audit = claims
+        # identity poly eval at rand_mem
+        eval_init_addr = sum((1 << (len(rand_mem) - 1 - i)) * rand_mem[i]
+                             for i in range(len(rand_mem))) % L
+        eval_init_val = eq_eval_single(list(r), list(rand_mem))
+        if (hfn(eval_init_addr, eval_init_val, 0) - r_multiset) % L != claim_init % L:
+            return False
+        for i in range(len(eval_ops_addr)):
+            if (hfn(eval_ops_addr[i], eval_ops_val[i], eval_read_ts[i])
+                    - r_multiset) % L != claim_read[i] % L:
+                return False
+            if (hfn(eval_ops_addr[i], eval_ops_val[i], eval_read_ts[i] + 1)
+                    - r_multiset) % L != claim_write[i] % L:
+                return False
+        if (hfn(eval_init_addr, eval_init_val, eval_audit_ts)
+                - r_multiset) % L != claim_audit % L:
+            return False
+        return True
+
+    def verify(self, rand, claims_row, claims_col, claims_dotp,
+               comm: SparseMatPolyCommitment, gens: SparseMatPolyCommitmentGens,
+               comm_derefs: PolyCommitment, rx, ry, r_hash, r_multiset,
+               transcript: Transcript) -> bool:
+        transcript.append_protocol_name(HashLayerProof.PROTOCOL)
+        rand_mem, rand_ops = rand
+
+        eval_row_ops_val, eval_col_ops_val = self.eval_derefs
+        if not self.proof_derefs.verify(rand_ops, eval_row_ops_val,
+                                        eval_col_ops_val, gens.gens_derefs,
+                                        comm_derefs, transcript):
+            return False
+
+        assert len(claims_dotp) == 3 * len(eval_row_ops_val)
+        for i in range(len(claims_dotp) // 3):
+            if (claims_dotp[3 * i] % L != eval_row_ops_val[i] % L
+                    or claims_dotp[3 * i + 1] % L != eval_col_ops_val[i] % L
+                    or claims_dotp[3 * i + 2] % L != self.eval_val[i] % L):
+                return False
+
+        eval_row_addr, eval_row_read_ts, eval_row_audit_ts = self.eval_row
+        eval_col_addr, eval_col_read_ts, eval_col_audit_ts = self.eval_col
+        evals_ops = (list(eval_row_addr) + list(eval_row_read_ts)
+                     + list(eval_col_addr) + list(eval_col_read_ts)
+                     + list(self.eval_val))
+        evals_ops += [0] * (_next_pow2(len(evals_ops)) - len(evals_ops))
+        append_scalars_vector(transcript, b"claim_evals_ops", evals_ops)
+        challenges_ops = transcript.challenge_vector(
+            b"challenge_combine_n_to_one", _log2(len(evals_ops)))
+        joint_ops = DerefsEvalProof._bound_bot_ints(evals_ops, challenges_ops)
+        r_joint_ops = list(challenges_ops) + list(rand_ops)
+        transcript.append_scalar(b"joint_claim_eval_ops", joint_ops)
+        C_ops = commit1(joint_ops, 0, gens.gens_ops.gens.gens_1).compress()
+        if not self.proof_ops.verify(gens.gens_ops, transcript, r_joint_ops,
+                                     C_ops, comm.comm_comb_ops):
+            return False
+
+        evals_mem = [eval_row_audit_ts, eval_col_audit_ts]
+        append_scalars_vector(transcript, b"claim_evals_mem", evals_mem)
+        challenges_mem = transcript.challenge_vector(
+            b"challenge_combine_two_to_one", 1)
+        joint_mem = DerefsEvalProof._bound_bot_ints(evals_mem, challenges_mem)
+        r_joint_mem = list(challenges_mem) + list(rand_mem)
+        transcript.append_scalar(b"joint_claim_eval_mem", joint_mem)
+        C_mem = commit1(joint_mem, 0, gens.gens_mem.gens.gens_1).compress()
+        if not self.proof_mem.verify(gens.gens_mem, transcript, r_joint_mem,
+                                     C_mem, comm.comm_comb_mem):
+            return False
+
+        if not self._verify_helper(rand_mem, claims_row, eval_row_ops_val,
+                                   eval_row_addr, eval_row_read_ts,
+                                   eval_row_audit_ts, rx, r_hash, r_multiset):
+            return False
+        if not self._verify_helper(rand_mem, claims_col, eval_col_ops_val,
+                                   eval_col_addr, eval_col_read_ts,
+                                   eval_col_audit_ts, ry, r_hash, r_multiset):
+            return False
+        return True
+
+    def size(self) -> int:
+        n_scalars = (len(self.eval_row[0]) + len(self.eval_row[1]) + 1
+                     + len(self.eval_col[0]) + len(self.eval_col[1]) + 1
+                     + len(self.eval_val)
+                     + len(self.eval_derefs[0]) + len(self.eval_derefs[1]))
+        return (32 * n_scalars + 6 * 8
+                + self.proof_ops.size() + self.proof_mem.size()
+                + self.proof_derefs.size())
+
+
+# ----------------------------------------------------------------------
+# ProductLayerProof / PolyEvalNetworkProof / SparseMatPolyEvalProof
+# ----------------------------------------------------------------------
+
+@dataclass
+class ProductLayerProof:
+    eval_row: Tuple[int, List[int], List[int], int]
+    eval_col: Tuple[int, List[int], List[int], int]
+    eval_val: Tuple[List[int], List[int]]
+    proof_mem: ProductCircuitEvalProofBatched
+    proof_ops: ProductCircuitEvalProofBatched
+
+    PROTOCOL = b"Sparse polynomial product layer proof"
+
+    @staticmethod
+    def prove(row_layers: Layers, col_layers: Layers,
+              dense: MultiSparseMatPolynomialAsDense, derefs: Derefs,
+              evals: List[int], transcript: Transcript):
+        transcript.append_protocol_name(ProductLayerProof.PROTOCOL)
+        B = dense.batch_size
+
+        ops_inputs = jnp.stack(
+            row_layers.read_leaves + row_layers.write_leaves
+            + col_layers.read_leaves + col_layers.write_leaves, axis=0)
+        ops_circ = BatchedProductCircuits(ops_inputs)
+        ops_evals = ops_circ.evaluate()
+        row_eval_read = ops_evals[0:B]
+        row_eval_write = ops_evals[B:2 * B]
+        col_eval_read = ops_evals[2 * B:3 * B]
+        col_eval_write = ops_evals[3 * B:4 * B]
+
+        mem_inputs = jnp.stack(
+            [row_layers.init_leaves, row_layers.audit_leaves,
+             col_layers.init_leaves, col_layers.audit_leaves], axis=0)
+        mem_circ = BatchedProductCircuits(mem_inputs)
+        mem_evals = mem_circ.evaluate()
+        row_eval_init, row_eval_audit, col_eval_init, col_eval_audit = mem_evals
+
+        ws = 1
+        for v in row_eval_write:
+            ws = ws * v % L
+        rs = 1
+        for v in row_eval_read:
+            rs = rs * v % L
+        assert row_eval_init * ws % L == rs * row_eval_audit % L, \
+            "row multiset check failed"
+
+        transcript.append_scalar(b"claim_row_eval_init", row_eval_init)
+        append_scalars_vector(transcript, b"claim_row_eval_read", row_eval_read)
+        append_scalars_vector(transcript, b"claim_row_eval_write", row_eval_write)
+        transcript.append_scalar(b"claim_row_eval_audit", row_eval_audit)
+
+        ws = 1
+        for v in col_eval_write:
+            ws = ws * v % L
+        rs = 1
+        for v in col_eval_read:
+            rs = rs * v % L
+        assert col_eval_init * ws % L == rs * col_eval_audit % L, \
+            "col multiset check failed"
+
+        transcript.append_scalar(b"claim_col_eval_init", col_eval_init)
+        append_scalars_vector(transcript, b"claim_col_eval_read", col_eval_read)
+        append_scalars_vector(transcript, b"claim_col_eval_write", col_eval_write)
+        transcript.append_scalar(b"claim_col_eval_audit", col_eval_audit)
+
+        # dot-product circuits: split each instance's (row_val * col_val *
+        # weight) sum into left/right halves; stacked interleaved
+        # [left_0, right_0, left_1, right_1, ...] like the reference
+        half = dense.N // 2
+        lefts, rights, weights_ = [], [], []
+        eval_dotp_left_vec, eval_dotp_right_vec = [], []
+        for i in range(B):
+            lrow = derefs.row_ops_val[i]
+            rcol = derefs.col_ops_val[i]
+            w = dense.val_dev[i]
+            for lo, hi in (((0, half)), ((half, 2 * half))):
+                lefts.append(lrow[lo:hi])
+                rights.append(rcol[lo:hi])
+                weights_.append(w[lo:hi])
+        dotp = BatchedDotProducts(jnp.stack(lefts), jnp.stack(rights),
+                                  jnp.stack(weights_))
+        dotp_evals = dotp.evaluate()
+        for i in range(B):
+            el, er = dotp_evals[2 * i], dotp_evals[2 * i + 1]
+            transcript.append_scalar(b"claim_eval_dotp_left", el)
+            transcript.append_scalar(b"claim_eval_dotp_right", er)
+            assert (el + er) % L == evals[i] % L
+            eval_dotp_left_vec.append(el)
+            eval_dotp_right_vec.append(er)
+
+        proof_ops, rand_ops = ProductCircuitEvalProofBatched.prove(
+            ops_circ, dotp, transcript)
+        proof_mem, rand_mem = ProductCircuitEvalProofBatched.prove(
+            mem_circ, None, transcript)
+
+        return (ProductLayerProof(
+            (row_eval_init, row_eval_read, row_eval_write, row_eval_audit),
+            (col_eval_init, col_eval_read, col_eval_write, col_eval_audit),
+            (eval_dotp_left_vec, eval_dotp_right_vec),
+            proof_mem, proof_ops), rand_mem, rand_ops)
+
+    def verify(self, num_ops: int, num_cells: int, evals: List[int],
+               transcript: Transcript):
+        transcript.append_protocol_name(ProductLayerProof.PROTOCOL)
+        B = len(evals)
+
+        row_eval_init, row_eval_read, row_eval_write, row_eval_audit = self.eval_row
+        ws = 1
+        for v in row_eval_write:
+            ws = ws * v % L
+        rs = 1
+        for v in row_eval_read:
+            rs = rs * v % L
+        if row_eval_init * ws % L != rs * row_eval_audit % L:
+            return None
+        transcript.append_scalar(b"claim_row_eval_init", row_eval_init)
+        append_scalars_vector(transcript, b"claim_row_eval_read", row_eval_read)
+        append_scalars_vector(transcript, b"claim_row_eval_write", row_eval_write)
+        transcript.append_scalar(b"claim_row_eval_audit", row_eval_audit)
+
+        col_eval_init, col_eval_read, col_eval_write, col_eval_audit = self.eval_col
+        ws = 1
+        for v in col_eval_write:
+            ws = ws * v % L
+        rs = 1
+        for v in col_eval_read:
+            rs = rs * v % L
+        if col_eval_init * ws % L != rs * col_eval_audit % L:
+            return None
+        transcript.append_scalar(b"claim_col_eval_init", col_eval_init)
+        append_scalars_vector(transcript, b"claim_col_eval_read", col_eval_read)
+        append_scalars_vector(transcript, b"claim_col_eval_write", col_eval_write)
+        transcript.append_scalar(b"claim_col_eval_audit", col_eval_audit)
+
+        eval_dotp_left, eval_dotp_right = self.eval_val
+        claims_dotp_circuit: List[int] = []
+        for i in range(B):
+            if (eval_dotp_left[i] + eval_dotp_right[i]) % L != evals[i] % L:
+                return None
+            transcript.append_scalar(b"claim_eval_dotp_left", eval_dotp_left[i])
+            transcript.append_scalar(b"claim_eval_dotp_right", eval_dotp_right[i])
+            claims_dotp_circuit += [eval_dotp_left[i], eval_dotp_right[i]]
+
+        claims_prod_circuit = (list(row_eval_read) + list(row_eval_write)
+                               + list(col_eval_read) + list(col_eval_write))
+        claims_ops, claims_dotp, rand_ops = self.proof_ops.verify(
+            claims_prod_circuit, claims_dotp_circuit, num_ops, transcript)
+        claims_mem, _, rand_mem = self.proof_mem.verify(
+            [row_eval_init, row_eval_audit, col_eval_init, col_eval_audit],
+            [], num_cells, transcript)
+        return claims_mem, rand_mem, claims_ops, claims_dotp, rand_ops
+
+    def size(self) -> int:
+        n_scalars = (2 + len(self.eval_row[1]) + len(self.eval_row[2])
+                     + 2 + len(self.eval_col[1]) + len(self.eval_col[2])
+                     + len(self.eval_val[0]) + len(self.eval_val[1]))
+        return (32 * n_scalars + 6 * 8
+                + self.proof_mem.size() + self.proof_ops.size())
+
+
+@dataclass
+class PolyEvalNetworkProof:
+    proof_prod_layer: ProductLayerProof
+    proof_hash_layer: HashLayerProof
+
+    PROTOCOL = b"Sparse polynomial evaluation proof"
+
+    @staticmethod
+    def prove(dense, derefs, mem_rx_dev, mem_ry_dev, r_mem_check, evals,
+              gens, transcript, tape):
+        transcript.append_protocol_name(PolyEvalNetworkProof.PROTOCOL)
+        row_layers = Layers(mem_rx_dev, dense.row, derefs.row_ops_val, r_mem_check)
+        col_layers = Layers(mem_ry_dev, dense.col, derefs.col_ops_val, r_mem_check)
+        proof_prod, rand_mem, rand_ops = ProductLayerProof.prove(
+            row_layers, col_layers, dense, derefs, evals, transcript)
+        proof_hash = HashLayerProof.prove((rand_mem, rand_ops), dense, derefs,
+                                          gens, transcript, tape)
+        return PolyEvalNetworkProof(proof_prod, proof_hash)
+
+    def verify(self, comm, comm_derefs, evals, gens, rx, ry, r_mem_check,
+               nz: int, transcript: Transcript) -> bool:
+        transcript.append_protocol_name(PolyEvalNetworkProof.PROTOCOL)
+        r_hash, r_multiset = r_mem_check
+        num_ops = _next_pow2(nz)
+        num_cells = 1 << len(rx)
+        res = self.proof_prod_layer.verify(num_ops, num_cells, evals, transcript)
+        if res is None:
+            return False
+        claims_mem, rand_mem, claims_ops, claims_dotp, rand_ops = res
+        B = len(evals)
+        assert len(claims_mem) == 4 and len(claims_ops) == 4 * B
+        claims_row = (claims_mem[0], claims_ops[0:B], claims_ops[B:2 * B],
+                      claims_mem[1])
+        claims_col = (claims_mem[2], claims_ops[2 * B:3 * B],
+                      claims_ops[3 * B:4 * B], claims_mem[3])
+        return self.proof_hash_layer.verify(
+            (rand_mem, rand_ops), claims_row, claims_col, claims_dotp,
+            comm, gens, comm_derefs, rx, ry, r_hash, r_multiset, transcript)
+
+    def size(self) -> int:
+        return self.proof_prod_layer.size() + self.proof_hash_layer.size()
+
+
+def _equalize(rx: List[int], ry: List[int]):
+    if len(rx) < len(ry):
+        return [0] * (len(ry) - len(rx)) + list(rx), list(ry)
+    if len(rx) > len(ry):
+        return list(rx), [0] * (len(rx) - len(ry)) + list(ry)
+    return list(rx), list(ry)
+
+
+@dataclass
+class SparseMatPolyEvalProof:
+    comm_derefs: PolyCommitment
+    poly_eval_network_proof: PolyEvalNetworkProof
+
+    PROTOCOL = b"Sparse polynomial evaluation proof"
+
+    @staticmethod
+    def prove(dense: MultiSparseMatPolynomialAsDense, rx, ry, evals,
+              gens: SparseMatPolyCommitmentGens, transcript: Transcript,
+              tape: RandomTape) -> "SparseMatPolyEvalProof":
+        transcript.append_protocol_name(SparseMatPolyEvalProof.PROTOCOL)
+        assert len(evals) == dense.batch_size
+        rx_ext, ry_ext = _equalize(rx, ry)
+        mem_rx = eq_evals(rx_ext)
+        mem_ry = eq_evals(ry_ext)
+        derefs = Derefs(dense.row.deref(mem_rx), dense.col.deref(mem_ry))
+        comm_derefs = derefs.commit(gens.gens_derefs)
+        derefs_commitment_append(comm_derefs, b"comm_poly_row_col_ops_val",
+                                 transcript)
+        r_mem_check = transcript.challenge_vector(b"challenge_r_hash", 2)
+        net_proof = PolyEvalNetworkProof.prove(
+            dense, derefs, mem_rx, mem_ry, (r_mem_check[0], r_mem_check[1]),
+            list(evals), gens, transcript, tape)
+        return SparseMatPolyEvalProof(comm_derefs, net_proof)
+
+    def verify(self, comm: SparseMatPolyCommitment, rx, ry, evals,
+               gens: SparseMatPolyCommitmentGens,
+               transcript: Transcript) -> bool:
+        transcript.append_protocol_name(SparseMatPolyEvalProof.PROTOCOL)
+        rx_ext, ry_ext = _equalize(rx, ry)
+        nz, num_mem_cells = comm.num_ops, comm.num_mem_cells
+        assert (1 << len(rx_ext)) == num_mem_cells
+        derefs_commitment_append(self.comm_derefs,
+                                 b"comm_poly_row_col_ops_val", transcript)
+        r_mem_check = transcript.challenge_vector(b"challenge_r_hash", 2)
+        return self.poly_eval_network_proof.verify(
+            comm, self.comm_derefs, list(evals), gens, rx_ext, ry_ext,
+            (r_mem_check[0], r_mem_check[1]), nz, transcript)
+
+    def size(self) -> int:
+        return self.comm_derefs.size() + self.poly_eval_network_proof.size()
+
+
+# ----------------------------------------------------------------------
+# R1CS eval proof wrapper (reference r1csinstance.rs:324-374)
+# ----------------------------------------------------------------------
+
+@dataclass
+class R1CSEvalProof:
+    proof: SparseMatPolyEvalProof
+
+    @staticmethod
+    def prove(dense, rx, ry, evals, gens, transcript, tape) -> "R1CSEvalProof":
+        return R1CSEvalProof(SparseMatPolyEvalProof.prove(
+            dense, rx, ry, list(evals), gens, transcript, tape))
+
+    def verify(self, comm, rx, ry, evals, gens, transcript) -> bool:
+        return self.proof.verify(comm, rx, ry, list(evals), gens, transcript)
+
+    def size(self) -> int:
+        return self.proof.size()

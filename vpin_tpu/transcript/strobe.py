@@ -4,7 +4,10 @@ challenges match the reference prover/verifier byte-for-byte."""
 
 from __future__ import annotations
 
+import ctypes
+
 from .keccak import keccak_f1600
+from . import _native
 
 FLAG_I = 1
 FLAG_A = 1 << 1
@@ -17,20 +20,44 @@ _R = 166  # STROBE-128 rate over keccak-f[1600] (168 minus 2 reserved bytes)
 
 
 class Strobe128:
+    """STROBE-128; inner byte loops run in the native C core when the
+    toolchain is available (native/keccak.c), else pure Python."""
+
     def __init__(self, protocol_label: bytes):
         st = bytearray(200)
         st[0:6] = bytes([1, _R + 2, 1, 0, 1, 96])
         st[6:18] = b"STROBEv1.0.2"
-        keccak_f1600(st)
+        self._lib = _native.load()
+        if self._lib is not None:
+            self._posbuf = (ctypes.c_int32 * 2)(0, 0)
+            self._stview = (ctypes.c_ubyte * 200).from_buffer(st)
+            self._lib.keccak_f1600(self._stview)
+        else:
+            keccak_f1600(st)
         self.state = st
         self.pos = 0
         self.pos_begin = 0
         self.cur_flags = 0
         self.meta_ad(protocol_label, False)
 
+    # -- native dispatch ------------------------------------------------
+
+    def _sync_to_native(self):
+        self._posbuf[0] = self.pos
+        self._posbuf[1] = self.pos_begin
+
+    def _sync_from_native(self):
+        self.pos = self._posbuf[0]
+        self.pos_begin = self._posbuf[1]
+
     # -- internals -----------------------------------------------------
 
     def _run_f(self) -> None:
+        if self._lib is not None:
+            self._sync_to_native()
+            self._lib.strobe_run_f(self._stview, self._posbuf)
+            self._sync_from_native()
+            return
         self.state[self.pos] ^= self.pos_begin
         self.state[self.pos + 1] ^= 0x04
         self.state[_R + 1] ^= 0x80
@@ -39,6 +66,12 @@ class Strobe128:
         self.pos_begin = 0
 
     def _absorb(self, data: bytes) -> None:
+        if self._lib is not None:
+            self._sync_to_native()
+            buf = (ctypes.c_ubyte * len(data)).from_buffer_copy(data)
+            self._lib.strobe_absorb(self._stview, self._posbuf, buf, len(data))
+            self._sync_from_native()
+            return
         for byte in data:
             self.state[self.pos] ^= byte
             self.pos += 1
@@ -46,6 +79,12 @@ class Strobe128:
                 self._run_f()
 
     def _overwrite(self, data: bytes) -> None:
+        if self._lib is not None:
+            self._sync_to_native()
+            buf = (ctypes.c_ubyte * len(data)).from_buffer_copy(data)
+            self._lib.strobe_overwrite(self._stview, self._posbuf, buf, len(data))
+            self._sync_from_native()
+            return
         for byte in data:
             self.state[self.pos] = byte
             self.pos += 1
@@ -53,6 +92,12 @@ class Strobe128:
                 self._run_f()
 
     def _squeeze(self, n: int) -> bytes:
+        if self._lib is not None:
+            self._sync_to_native()
+            out = (ctypes.c_ubyte * n)()
+            self._lib.strobe_squeeze(self._stview, self._posbuf, out, n)
+            self._sync_from_native()
+            return bytes(out)
         out = bytearray(n)
         for i in range(n):
             out[i] = self.state[self.pos]

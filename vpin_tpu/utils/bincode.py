@@ -1,0 +1,196 @@
+"""bincode-compatible proof serialization.
+
+The reference measures proof size with bincode::serialize (e.g.
+proof_point_add.rs:96-98) and its wire format is simple: little-endian
+u64 length prefixes for Vec<T>, raw fixed-size arrays, struct fields in
+declaration order.  Scalars and compressed ristretto points are 32-byte
+arrays.  This module produces those exact bytes for every proof object,
+so proofs can be persisted/restored and sizes match the reference's
+accounting.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List
+
+
+class Writer:
+    def __init__(self):
+        self.buf = bytearray()
+
+    def u64(self, n: int) -> "Writer":
+        self.buf += struct.pack("<Q", n)
+        return self
+
+    def raw(self, b: bytes) -> "Writer":
+        assert isinstance(b, (bytes, bytearray))
+        self.buf += b
+        return self
+
+    def scalar(self, v: int) -> "Writer":
+        self.buf += int(v).to_bytes(32, "little")
+        return self
+
+    def point(self, b: bytes) -> "Writer":
+        assert len(b) == 32
+        self.buf += b
+        return self
+
+    def vec(self, items, fn) -> "Writer":
+        self.u64(len(items))
+        for it in items:
+            fn(it)
+        return self
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+class Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.off = 0
+
+    def u64(self) -> int:
+        v = struct.unpack_from("<Q", self.data, self.off)[0]
+        self.off += 8
+        return v
+
+    def raw(self, n: int) -> bytes:
+        b = self.data[self.off:self.off + n]
+        self.off += n
+        return b
+
+    def scalar(self) -> int:
+        return int.from_bytes(self.raw(32), "little")
+
+    def point(self) -> bytes:
+        return self.raw(32)
+
+    def vec(self, fn) -> List:
+        return [fn() for _ in range(self.u64())]
+
+
+# ----------------------------------------------------------------------
+# per-structure serializers (field order == reference struct order)
+# ----------------------------------------------------------------------
+
+def ser_knowledge(w: Writer, p) -> None:
+    w.point(p.alpha).scalar(p.z1).scalar(p.z2)
+
+
+def ser_equality(w: Writer, p) -> None:
+    w.point(p.alpha).scalar(p.z)
+
+
+def ser_product(w: Writer, p) -> None:
+    w.point(p.alpha).point(p.beta).point(p.delta)
+    for z in p.z:                      # [Scalar; 5] fixed array, no prefix
+        w.scalar(z)
+
+
+def ser_dotproduct(w: Writer, p) -> None:
+    w.point(p.delta).point(p.beta)
+    w.vec(p.z, lambda v: w.scalar(v))
+    w.scalar(p.z_delta).scalar(p.z_beta)
+
+
+def ser_dotproduct_log(w: Writer, p) -> None:
+    w.vec(p.bullet.L_vec, lambda v: w.point(v))
+    w.vec(p.bullet.R_vec, lambda v: w.point(v))
+    w.point(p.delta).point(p.beta).scalar(p.z1).scalar(p.z2)
+
+
+def ser_polyeval(w: Writer, p) -> None:
+    ser_dotproduct_log(w, p.proof)
+
+
+def ser_poly_commitment(w: Writer, c) -> None:
+    w.vec(c.C, lambda v: w.point(v))
+
+
+def ser_zk_sumcheck(w: Writer, sc) -> None:
+    w.vec(sc.comm_polys, lambda v: w.point(v))
+    w.vec(sc.comm_evals, lambda v: w.point(v))
+    w.vec(sc.proofs, lambda p: ser_dotproduct(w, p))
+
+
+def ser_compressed_unipoly(w: Writer, coeffs: List[int]) -> None:
+    w.vec(coeffs, lambda v: w.scalar(v))
+
+
+def ser_sumcheck(w: Writer, polys: List[List[int]]) -> None:
+    w.vec(polys, lambda p: ser_compressed_unipoly(w, p))
+
+
+def ser_r1cs_sat_proof(w: Writer, p) -> None:
+    ser_poly_commitment(w, p.comm_vars)
+    ser_zk_sumcheck(w, p.sc_proof_phase1)
+    for c in p.claims_phase2:          # tuple of 4 compressed points
+        w.point(c)
+    ser_knowledge(w, p.pok_claims_phase2[0])
+    ser_product(w, p.pok_claims_phase2[1])
+    ser_equality(w, p.proof_eq_sc_phase1)
+    ser_zk_sumcheck(w, p.sc_proof_phase2)
+    w.point(p.comm_vars_at_ry)
+    ser_polyeval(w, p.proof_eval_vars_at_ry)
+    ser_equality(w, p.proof_eq_sc_phase2)
+
+
+def ser_layer_proof_batched(w: Writer, lp) -> None:
+    ser_sumcheck(w, lp.compressed_polys)
+    w.vec(lp.claims_prod_left, lambda v: w.scalar(v))
+    w.vec(lp.claims_prod_right, lambda v: w.scalar(v))
+
+
+def ser_prod_circuit_batched(w: Writer, p) -> None:
+    w.vec(p.proof, lambda lp: ser_layer_proof_batched(w, lp))
+    for part in p.claims_dotp:         # tuple of three Vec<Scalar>
+        w.vec(part, lambda v: w.scalar(v))
+
+
+def ser_hash_layer(w: Writer, p) -> None:
+    for grp in (p.eval_row, p.eval_col):
+        w.vec(grp[0], lambda v: w.scalar(v))
+        w.vec(grp[1], lambda v: w.scalar(v))
+        w.scalar(grp[2])
+    w.vec(p.eval_val, lambda v: w.scalar(v))
+    w.vec(p.eval_derefs[0], lambda v: w.scalar(v))
+    w.vec(p.eval_derefs[1], lambda v: w.scalar(v))
+    ser_polyeval(w, p.proof_ops)
+    ser_polyeval(w, p.proof_mem)
+    ser_polyeval(w, p.proof_derefs.proof_derefs)
+
+
+def ser_eval_network(w: Writer, p) -> None:
+    # ProductLayerProof field order: eval_row, eval_col, eval_val,
+    # proof_mem, proof_ops
+    pl = p.proof_prod_layer
+    for grp in (pl.eval_row, pl.eval_col):
+        w.scalar(grp[0])
+        w.vec(grp[1], lambda v: w.scalar(v))
+        w.vec(grp[2], lambda v: w.scalar(v))
+        w.scalar(grp[3])
+    w.vec(pl.eval_val[0], lambda v: w.scalar(v))
+    w.vec(pl.eval_val[1], lambda v: w.scalar(v))
+    ser_prod_circuit_batched(w, pl.proof_mem)
+    ser_prod_circuit_batched(w, pl.proof_ops)
+    ser_hash_layer(w, p.proof_hash_layer)
+
+
+def ser_sparse_eval_proof(w: Writer, p) -> None:
+    ser_poly_commitment(w, p.comm_derefs)
+    ser_eval_network(w, p.poly_eval_network_proof)
+
+
+def serialize_snark(proof) -> bytes:
+    """CPSnarkProof -> bincode bytes (SNARK struct: sat proof, inst_evals,
+    eval proof)."""
+    w = Writer()
+    ser_r1cs_sat_proof(w, proof.r1cs_sat_proof)
+    for v in proof.inst_evals:
+        w.scalar(v)
+    if proof.r1cs_eval_proof is not None:
+        ser_sparse_eval_proof(w, proof.r1cs_eval_proof.proof)
+    return w.bytes()
