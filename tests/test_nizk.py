@@ -1,0 +1,52 @@
+"""NIZK (non-preprocessing Spartan) prove/verify + instance digest."""
+
+import random
+
+from vpin_tpu.curve.host_ec import E2_G_HOST, E2_ORDER
+from vpin_tpu.transcript.merlin import Transcript
+from vpin_tpu.gadgets.point_addition import point_addition_gadget
+from vpin_tpu.snark import NIZK, NIZKGens, instance_digest
+
+RNG = random.Random(17)
+
+
+def _gadget(n):
+    px, py, rx, ry, rz = [], [], [], [], []
+    for _ in range(n):
+        P = RNG.randrange(1, E2_ORDER) * E2_G_HOST
+        R = RNG.randrange(1, E2_ORDER) * E2_G_HOST
+        px.append(P.x)
+        py.append(P.y)
+        rx.append(R.x)
+        ry.append(R.y)
+        rz.append(0)
+    return point_addition_gadget(px, py, rx, ry, rz)
+
+
+def test_nizk_prove_verify():
+    inst, _, _, vars_full, inputs, nc, nv, ni, _ = _gadget(2)
+    gens = NIZKGens(nc, nv, ni)
+    pt = Transcript(b"nizk_example")
+    proof = NIZK.prove(inst, vars_full, inputs, gens, pt, tape_seed=3)
+    vt = Transcript(b"nizk_example")
+    assert proof.verify(inst, inputs, vt, gens)
+
+    # tampering with claimed r fails
+    proof.r = ([x for x in proof.r[0]], [(proof.r[1][0] + 1) % E2_ORDER]
+               + proof.r[1][1:])
+    vt2 = Transcript(b"nizk_example")
+    ok = False
+    try:
+        ok = proof.verify(inst, inputs, vt2, gens)
+    except Exception:
+        ok = False
+    assert not ok
+
+
+def test_instance_digest_stable():
+    inst, *_ = _gadget(2)
+    inst2, *_ = _gadget(2)
+    d1 = instance_digest(inst)
+    assert isinstance(d1, bytes) and len(d1) > 0
+    assert d1 == instance_digest(inst)          # deterministic
+    assert d1 != instance_digest(inst2)         # different witness points

@@ -51,7 +51,8 @@ def test_bsgs_exact_multiple(table):
 
 
 def test_conv_rlc_and_witness_counts(table, keypair):
-    img = np.array([[RNG.randrange(0, 50) for _ in range(6)] for _ in range(6)])
+    n = 4
+    img = np.array([[RNG.randrange(0, 50) for _ in range(n)] for _ in range(n)])
     ct = encrypt_batch(img, keypair, random.Random(3))
     filt = np.array([[1, 0, 1], [2, 0, 2], [1, 0, 1]])
 
@@ -70,8 +71,8 @@ def test_conv_rlc_and_witness_counts(table, keypair):
     out_ct = CipherTensor(out_halves[0], out_halves[1])
     got = decrypt_batch(out_ct, keypair, table, max_steps=64)
     padded = np.pad(img, 1)
-    for i in range(6):
-        for j in range(6):
+    for i in range(n):
+        for j in range(n):
             want = int(np.sum(padded[i:i + 3, j:j + 3] * filt))
             assert int(got[i][j]) == want
 
@@ -128,11 +129,14 @@ def test_channel_sum(table, keypair):
 
 
 def test_trace_export(tmp_path, keypair):
+    # same shapes as test_conv_rlc_and_witness_counts so the compiled
+    # kernels are reused
     img = np.array([[RNG.randrange(0, 9) for _ in range(4)] for _ in range(4)])
     ct = encrypt_batch(img, keypair, random.Random(8))
     eng = HomomorphicEngine(prf_trunc_bytes=14)
+    filt = np.array([[1, 0, 1], [2, 0, 2], [1, 0, 1]])
     for half in ct:
-        eng.conv2d(half, np.array([[1, 0], [0, 2]]), key=b"t" * 32)
+        eng.conv2d(half, filt, key=b"t" * 32, padding=1, stride=1)
     eng.flush_checks()
     eng.trace.export_json(str(tmp_path / "T"))
 
@@ -140,10 +144,10 @@ def test_trace_export(tmp_path, keypair):
     mdir = tmp_path / "T" / "pointMult"
     adir = tmp_path / "T" / "pointAdd"
     weights = json.loads((mdir / "weight.json").read_text())
-    assert weights == ["1", "0", "0", "2"] * 2
+    assert weights == [str(w) for w in filt.reshape(-1)] * 2
     px = json.loads((mdir / "point_mult_px_byte.json").read_text())
-    assert len(px) == 8 and all(len(row) == 32 for row in px)
+    assert len(px) == 18 and all(len(row) == 32 for row in px)
     rz = json.loads((adir / "point_add_rz_byte.json").read_text())
-    # adds: per half 3 adds; the weight-0 temps are the identity => rz=1
-    assert len(rz) == 6
-    assert rz == [1, 1, 0] * 2
+    # adds record (acc, temp_i) for i>=1; temps with weight 0 are identity
+    assert len(rz) == 16
+    assert rz == [1 if w == 0 else 0 for w in filt.reshape(-1)[1:]] * 2

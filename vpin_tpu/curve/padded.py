@@ -88,18 +88,24 @@ class PaddedOps:
                            _flatten_pad(self, Q, n_pad))
         return _unflatten(out, shape, n)
 
+    _BIT_BUCKETS = (8, 16, 32, 64, 128, 253)
+
     def pscalar_mul_bits(self, P, bits):
-        """bits: numpy (..., n_bits) broadcastable to P's batch shape."""
+        """bits: numpy (..., n_bits) broadcastable to P's batch shape.
+        The bit width is padded up to a small set of buckets so ladder
+        kernels compile once per bucket, not once per exact width."""
         bits = np.asarray(bits)
         shape = jnp.broadcast_shapes(P[0].shape[:-1], bits.shape[:-1])
         cls = type(P)
         Pb = cls(*(jnp.broadcast_to(c, shape + (16,)) for c in P))
         n_bits = bits.shape[-1]
+        nb_pad = next((b for b in self._BIT_BUCKETS if b >= n_bits),
+                      max(n_bits, 256))
         bits_b = np.broadcast_to(bits, tuple(shape) + (n_bits,))
         n = int(np.prod(shape, dtype=int))
         n_pad = _pow2(max(n, 1))
-        bits_flat = np.zeros((n_pad, n_bits), dtype=np.uint32)
-        bits_flat[:n] = bits_b.reshape(n, n_bits)
+        bits_flat = np.zeros((n_pad, nb_pad), dtype=np.uint32)
+        bits_flat[:n, :n_bits] = bits_b.reshape(n, n_bits)
         out = self.jscalar_mul_bits(_flatten_pad(self, Pb, n_pad),
                                     jnp.asarray(bits_flat))
         return _unflatten(out, shape, n)

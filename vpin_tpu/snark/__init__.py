@@ -5,12 +5,14 @@ from .r1csproof import (
 )
 from .cp_snark import (
     SNARKGens, CPSnarkProof, cp_commit_witness, cp_snark_prove,
-    cp_snark_verify, pad_assignment,
+    cp_snark_verify, pad_assignment, snark_encode,
 )
+from .nizk_api import NIZK, NIZKGens, instance_digest
 
 __all__ = [
     "R1CSInstance", "SparseMat", "R1CSGens", "R1CSProof", "PolyCommitment",
     "PolyEvalProof", "poly_commit", "combined_commit", "r1cs_prove_cp",
     "r1cs_verify_cp", "SNARKGens", "CPSnarkProof", "cp_commit_witness",
-    "cp_snark_prove", "cp_snark_verify", "pad_assignment",
+    "cp_snark_prove", "cp_snark_verify", "pad_assignment", "snark_encode",
+    "NIZK", "NIZKGens", "instance_digest",
 ]

@@ -206,12 +206,33 @@ def r1cs_prove_cp(inst: R1CSInstance, vars_ints: List[int], inputs: List[int],
                   gens: R1CSGens, transcript: Transcript, tape: RandomTape,
                   poly_vars: DensePoly, comm_vars: PolyCommitment,
                   blinds_vars: List[int]):
-    """my_R1CSProof_prove (commit_test.rs:136-334)."""
+    """my_R1CSProof_prove (commit_test.rs:136-334).  The CP deviation:
+    the externally-combined commitment is appended and `input` is NOT."""
     transcript.append_protocol_name(R1CSProof.PROTOCOL)
     assert len(inputs) < len(vars_ints)
-
-    # CP deviation: append the externally-combined commitment
     comm_vars.append_to_transcript(b"poly_commitment", transcript)
+    return _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
+                            poly_vars, comm_vars, blinds_vars)
+
+
+def r1cs_prove_stock(inst: R1CSInstance, vars_ints: List[int],
+                     inputs: List[int], gens: R1CSGens,
+                     transcript: Transcript, tape: RandomTape):
+    """Stock R1CSProof::prove (r1csproof.rs:161-366): appends `input`,
+    commits the witness itself with the random tape."""
+    transcript.append_protocol_name(R1CSProof.PROTOCOL)
+    assert len(inputs) < len(vars_ints)
+    from ..nizk.sigma import append_scalars_vector
+    append_scalars_vector(transcript, b"input", inputs)
+    poly_vars = DensePoly(ints_to_dev(vars_ints))
+    comm_vars, blinds_vars = poly_commit(poly_vars, gens.gens_pc, tape)
+    comm_vars.append_to_transcript(b"poly_commitment", transcript)
+    return _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
+                            poly_vars, comm_vars, blinds_vars)
+
+
+def _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
+                     poly_vars, comm_vars, blinds_vars):
 
     num_vars = len(vars_ints)
     z_ints = list(vars_ints) + [1] + list(inputs) + \
@@ -309,7 +330,24 @@ def r1cs_verify_cp(proof: R1CSProof, num_vars: int, num_cons: int,
     c2 = decompress_many(comm_2.C)
     combined = PolyCommitment([(a + b).compress() for a, b in zip(c1, c2)])
     combined.append_to_transcript(b"poly_commitment", transcript)
+    return _r1cs_verify_core(proof, num_vars, num_cons, inputs, evals,
+                             transcript, gens, combined)
 
+
+def r1cs_verify_stock(proof: R1CSProof, num_vars: int, num_cons: int,
+                      inputs: List[int], evals: Tuple[int, int, int],
+                      transcript: Transcript, gens: R1CSGens):
+    """Stock R1CSProof::verify (r1csproof.rs:368-500)."""
+    transcript.append_protocol_name(R1CSProof.PROTOCOL)
+    from ..nizk.sigma import append_scalars_vector
+    append_scalars_vector(transcript, b"input", inputs)
+    proof.comm_vars.append_to_transcript(b"poly_commitment", transcript)
+    return _r1cs_verify_core(proof, num_vars, num_cons, inputs, evals,
+                             transcript, gens, proof.comm_vars)
+
+
+def _r1cs_verify_core(proof, num_vars, num_cons, inputs, evals, transcript,
+                      gens, comm_for_eval):
     num_rounds_x = _log2(num_cons)
     num_rounds_y = _log2(2 * num_vars)
     tau = transcript.challenge_vector(b"challenge_tau", num_rounds_x)
@@ -364,7 +402,8 @@ def r1cs_verify_cp(proof: R1CSProof, num_vars: int, num_cons: int,
     comm_claim_post_phase2, ry = res2
 
     if not proof.proof_eval_vars_at_ry.verify(
-            gens.gens_pc, transcript, ry[1:], proof.comm_vars_at_ry, combined):
+            gens.gens_pc, transcript, ry[1:], proof.comm_vars_at_ry,
+            comm_for_eval):
         return None
 
     # poly_input_eval: sparse poly [1, inputs...] evaluated at ry[1:]

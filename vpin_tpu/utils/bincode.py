@@ -14,6 +14,10 @@ from __future__ import annotations
 import struct
 from typing import List
 
+from ..field.prime_field import L_MODULUS as _L
+
+_R256 = (1 << 256) % _L
+
 
 class Writer:
     def __init__(self):
@@ -29,7 +33,8 @@ class Writer:
         return self
 
     def scalar(self, v: int) -> "Writer":
-        self.buf += int(v).to_bytes(32, "little")
+        # reference Scalar derives Serialize on its Montgomery [u64; 4] repr
+        self.buf += (int(v) % _L * _R256 % _L).to_bytes(32, "little")
         return self
 
     def point(self, b: bytes) -> "Writer":
@@ -63,7 +68,7 @@ class Reader:
         return b
 
     def scalar(self) -> int:
-        return int.from_bytes(self.raw(32), "little")
+        return int.from_bytes(self.raw(32), "little") * pow(_R256, -1, _L) % _L
 
     def point(self) -> bytes:
         return self.raw(32)
