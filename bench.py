@@ -45,8 +45,8 @@ def main():
         "unit": "s",
         "vs_baseline": round(baseline_s / warm, 2),
         "cold_s": round(cold, 3),
-        "num_mults": res.num_mults,
-        "num_adds": res.num_adds,
+        "num_mults": int(res.num_mults),
+        "num_adds": int(res.num_adds),
         "device": str(jax.devices()[0]),
     }))
 

@@ -44,9 +44,15 @@ def test_nizk_prove_verify():
 
 
 def test_instance_digest_stable():
+    # the digest covers the R1CS matrices only (reference:
+    # Spartan/src/r1csinstance.rs:154-158) — the point-add gadget's A/B/C
+    # depend only on the number of additions, not the witness values, so
+    # same-size gadgets from different points must digest identically.
     inst, *_ = _gadget(2)
     inst2, *_ = _gadget(2)
+    inst3, *_ = _gadget(4)
     d1 = instance_digest(inst)
     assert isinstance(d1, bytes) and len(d1) > 0
     assert d1 == instance_digest(inst)          # deterministic
-    assert d1 != instance_digest(inst2)         # different witness points
+    assert d1 == instance_digest(inst2)         # witness-independent
+    assert d1 != instance_digest(inst3)         # size-dependent
