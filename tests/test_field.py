@@ -104,3 +104,19 @@ def test_bytes_helpers():
     assert FQ.from_bytes(FQ.to_bytes(v)) == v
     wide = RNG.randrange(2**512).to_bytes(64, "little")
     assert FQ.from_bytes_wide(wide) == int.from_bytes(wide, "little") % L_MODULUS
+
+
+@pytest.mark.parametrize("F,mod", FIELDS, ids=["Fl", "Fp"])
+def test_pallas_mont_mul_matches_jnp(F, mod):
+    """The fused Pallas kernel (interpret mode on CPU) must be bit-equal
+    to the stock limb path, including the padded tail of a ragged batch."""
+    from vpin_tpu.field.pallas_mont import mont_mul_pallas
+
+    n = 300  # deliberately not a TILE multiple
+    xs = [RNG.randrange(mod) for _ in range(n)]
+    ys = [RNG.randrange(mod) for _ in range(n)]
+    a, b = F.to_mont(xs), F.to_mont(ys)
+    want = F.from_mont(F._mul_jnp(a, b))
+    got = F.from_mont(mont_mul_pallas(F, a, b, interpret=True))
+    assert [int(g) for g in got] == [int(w) for w in want]
+    assert all(int(g) == x * y % mod for g, x, y in zip(got, xs, ys))

@@ -34,6 +34,7 @@ Instantiated moduli:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -43,6 +44,22 @@ LIMB_BITS = 16
 N_LIMBS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1
 NUM_BITS = LIMB_BITS * N_LIMBS  # 256
+
+# Pallas kernel dispatch: "1" forces it on (interpret mode off-TPU),
+# "0" forces it off, "auto" (default) uses it on real TPU backends for
+# batches big enough to fill the lanes.
+_PALLAS_MODE = os.environ.get("VPIN_PALLAS", "auto")
+
+
+def _pallas_wanted() -> bool:
+    if _PALLAS_MODE == "0":
+        return False
+    if _PALLAS_MODE == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def int_to_limbs(x: int, n_limbs: int = N_LIMBS) -> np.ndarray:
@@ -212,7 +229,18 @@ class PrimeField:
         return self.sub(self.zeros(a.shape[:-1]), a)
 
     def mul(self, a, b):
-        """Montgomery product (a*b*R^{-1} mod N), log-depth throughout."""
+        """Montgomery product (a*b*R^{-1} mod N), log-depth throughout.
+        Dispatches to the fused Pallas kernel on TPU (field/pallas_mont.py)
+        when the batch is large enough to fill its lanes."""
+        if _pallas_wanted():
+            n = int(np.prod(jnp.broadcast_shapes(a.shape, b.shape)[:-1],
+                            dtype=int))
+            if n >= 256:
+                from .pallas_mont import mont_mul_pallas
+                return mont_mul_pallas(self, a, b)
+        return self._mul_jnp(a, b)
+
+    def _mul_jnp(self, a, b):
         P = _mul_limbs(a, b)                                   # relaxed, 32
         P_strict, _ = _resolve(P)                              # < N^2 < 2^512
         m_rel = _mul_limbs(P_strict[..., :N_LIMBS], self.NPRIME_dev,

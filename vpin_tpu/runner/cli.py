@@ -43,7 +43,8 @@ def cmd_conv(args):
         res.trace.export_json(args.export)
         print(f"Witness JSON exported to {args.export}")
     if args.prove:
-        prove_trace(res.trace, tape_seed=args.seed)
+        prove_trace(res.trace, tape_seed=args.seed,
+                    full_snark=not args.transparent)
 
 
 def cmd_cnn(args):
@@ -63,7 +64,8 @@ def cmd_cnn(args):
     if args.export:
         res.trace.export_json(args.export)
     if args.prove:
-        prove_trace(res.trace, tape_seed=args.seed)
+        prove_trace(res.trace, tape_seed=args.seed,
+                    full_snark=not args.transparent)
 
 
 def cmd_lenet(args):
@@ -89,12 +91,14 @@ def cmd_lenet(args):
         for name, (msl, asl) in res.layer_slices.items():
             print(f"\n=== layer {name} ===")
             prove_trace(res.trace, tape_seed=args.seed,
-                        mult_slice=msl, add_slice=asl)
+                        mult_slice=msl, add_slice=asl,
+                        full_snark=not args.transparent)
 
 
 def cmd_prove(args):
     from .proof_runner import prove_tag_dir
-    prove_tag_dir(args.dir, tape_seed=args.seed)
+    prove_tag_dir(args.dir, tape_seed=args.seed,
+                  full_snark=not args.transparent)
 
 
 def cmd_bsgs(args):
@@ -115,6 +119,8 @@ def main(argv=None):
     c.add_argument("--seed", type=int, default=0)
     c.add_argument("--export", type=str, default=None)
     c.add_argument("--prove", action="store_true")
+    c.add_argument("--transparent", action="store_true",
+                   help="skip the R1CS eval proof (verifier reads matrices)")
     c.set_defaults(fn=cmd_conv)
 
     c = sub.add_parser("cnn", help="CNN A-E workload (E2)")
@@ -125,6 +131,7 @@ def main(argv=None):
     c.add_argument("--bsgs-cache", type=str, default=".bsgs_table.pkl")
     c.add_argument("--export", type=str, default=None)
     c.add_argument("--prove", action="store_true")
+    c.add_argument("--transparent", action="store_true")
     c.set_defaults(fn=cmd_cnn)
 
     c = sub.add_parser("lenet", help="LeNet-5 workload (E4)")
@@ -134,11 +141,13 @@ def main(argv=None):
     c.add_argument("--bsgs-cache", type=str, default=".bsgs_table.pkl")
     c.add_argument("--export", type=str, default=None)
     c.add_argument("--prove", action="store_true")
+    c.add_argument("--transparent", action="store_true")
     c.set_defaults(fn=cmd_lenet)
 
     c = sub.add_parser("prove", help="prove a rust_files/<tag> witness dir")
     c.add_argument("--dir", type=str, required=True)
     c.add_argument("--seed", type=int, default=None)
+    c.add_argument("--transparent", action="store_true")
     c.set_defaults(fn=cmd_prove)
 
     c = sub.add_parser("bsgs", help="build the BSGS decryption table (E1)")

@@ -28,7 +28,9 @@ from ..gadgets.point_addition import point_addition_gadget
 from ..gadgets.point_mult import point_mult_gadget
 from ..snark import (
     SNARKGens, cp_commit_witness, cp_snark_prove, cp_snark_verify,
+    snark_encode,
 )
+from ..utils.config import DEFAULT_CONFIG
 
 
 def _bytes_to_int(row) -> int:
@@ -70,10 +72,18 @@ class ProofStats:
     ver_ms: int
 
 
-def _prove_gadget(gadget_out, tape_seed: Optional[int], quiet: bool) -> ProofStats:
+def _prove_gadget(gadget_out, tape_seed: Optional[int], quiet: bool,
+                  full_snark: bool = True):
     inst, vars_para, vars_input, vars_full, inputs, nc, nv, ni, nnz = gadget_out
 
     gens = SNARKGens(nc, nv, ni, nnz)
+    # SNARK::encode — commit to the R1CS matrices so the verifier never
+    # touches them (reference lib.rs:347-358).  `full_snark=False` is a
+    # "transparent" shortcut where the verifier evaluates the public
+    # matrices itself (not part of the reference flow; useful for tests).
+    comm = decomm = None
+    if full_snark:
+        comm, decomm = snark_encode(inst, gens)
     poly_vars, comm_vars, blind_vars, comm_para, comm_input = \
         cp_commit_witness(vars_para, vars_input, vars_full, gens,
                           tape_seed=tape_seed)
@@ -81,19 +91,22 @@ def _prove_gadget(gadget_out, tape_seed: Optional[int], quiet: bool) -> ProofSta
     pt = Transcript(b"snark_example")
     proof = cp_snark_prove(inst, vars_full, inputs, gens, pt,
                            poly_vars, comm_vars, blind_vars,
-                           tape_seed=tape_seed)
-    return proof, inst, inputs, gens, comm_para, comm_input
+                           decomm=decomm, tape_seed=tape_seed,
+                           with_eval_proof=full_snark)
+    return proof, inst, inputs, gens, comm_para, comm_input, comm
 
 
 def prove_point_add(px, py, rx, ry, rz, tape_seed=None,
-                    quiet=False) -> ProofStats:
+                    quiet=False, full_snark=None) -> ProofStats:
+    if full_snark is None:
+        full_snark = DEFAULT_CONFIG.with_eval_proof
     t0 = time.time()
     if not quiet:
         print("Point Addition Gadget...")
         print(f"Number of Point Additions: {len(px)}")
     gadget = point_addition_gadget(px, py, rx, ry, rz)
-    proof, inst, inputs, gens, comm_para, comm_input = \
-        _prove_gadget(gadget, tape_seed, quiet)
+    proof, inst, inputs, gens, comm_para, comm_input, comm = \
+        _prove_gadget(gadget, tape_seed, quiet, full_snark=full_snark)
     size = proof.size()
     gen_ms = int((time.time() - t0) * 1000)
     if not quiet:
@@ -101,7 +114,8 @@ def prove_point_add(px, py, rx, ry, rz, tape_seed=None,
         print(f"Proof generation time: {gen_ms} ms")
     t1 = time.time()
     vt = Transcript(b"snark_example")
-    ok = cp_snark_verify(proof, inst, inputs, vt, gens, comm_para, comm_input)
+    ok = cp_snark_verify(proof, inst, inputs, vt, gens, comm_para, comm_input,
+                         comm=comm)
     assert ok, "point-add proof verification failed"
     if not quiet:
         print("Proof verification successful!")
@@ -112,14 +126,16 @@ def prove_point_add(px, py, rx, ry, rz, tape_seed=None,
 
 
 def prove_point_mult(weights, px, py, n_bits=128, tape_seed=None,
-                     quiet=False) -> ProofStats:
+                     quiet=False, full_snark=None) -> ProofStats:
+    if full_snark is None:
+        full_snark = DEFAULT_CONFIG.with_eval_proof
     t0 = time.time()
     if not quiet:
         print("Point Multiplication Gadget...")
         print(f"Number of Point Multiplications: {len(weights)}")
     gadget = point_mult_gadget(weights, px, py, n=n_bits)
-    proof, inst, inputs, gens, comm_para, comm_input = \
-        _prove_gadget(gadget, tape_seed, quiet)
+    proof, inst, inputs, gens, comm_para, comm_input, comm = \
+        _prove_gadget(gadget, tape_seed, quiet, full_snark=full_snark)
     size = proof.size()
     gen_ms = int((time.time() - t0) * 1000)
     if not quiet:
@@ -127,7 +143,8 @@ def prove_point_mult(weights, px, py, n_bits=128, tape_seed=None,
         print(f"Proof generation time: {gen_ms} ms")
     t1 = time.time()
     vt = Transcript(b"snark_example")
-    ok = cp_snark_verify(proof, inst, inputs, vt, gens, comm_para, comm_input)
+    ok = cp_snark_verify(proof, inst, inputs, vt, gens, comm_para, comm_input,
+                         comm=comm)
     assert ok, "point-mult proof verification failed"
     if not quiet:
         print("Proof verification successful!")
@@ -138,10 +155,10 @@ def prove_point_mult(weights, px, py, n_bits=128, tape_seed=None,
 
 
 def prove_tag_dir(dir_path: str, n_bits=128, tape_seed=None,
-                  skip_mult=False) -> Tuple[int, int, int]:
+                  skip_mult=False, full_snark=None) -> Tuple[int, int, int]:
     """`cargo run -- <tag>` equivalent over a rust_files/<tag> directory."""
     stats_add = prove_point_add(*load_point_add_json(dir_path),
-                                tape_seed=tape_seed)
+                                tape_seed=tape_seed, full_snark=full_snark)
     print("")
     if skip_mult or not os.path.exists(
             os.path.join(dir_path, "pointMult", "weight.json")):
@@ -156,7 +173,8 @@ def prove_tag_dir(dir_path: str, n_bits=128, tape_seed=None,
             stats_mult = ProofStats(0, 0, 0)
         else:
             stats_mult = prove_point_mult(weights, px, py, n_bits=n_bits,
-                                          tape_seed=tape_seed)
+                                          tape_seed=tape_seed,
+                                          full_snark=full_snark)
 
     total = (stats_add.size_bytes + stats_mult.size_bytes,
              stats_add.gen_ms + stats_mult.gen_ms,
@@ -170,7 +188,8 @@ def prove_tag_dir(dir_path: str, n_bits=128, tape_seed=None,
 
 
 def prove_trace(trace, n_bits=128, tape_seed=None,
-                mult_slice=None, add_slice=None) -> Tuple[int, int, int]:
+                mult_slice=None, add_slice=None,
+                full_snark=None) -> Tuple[int, int, int]:
     """Prove directly from an in-process WitnessTrace (no JSON round trip)."""
     fin = trace.finalize()
     ms = slice(*(mult_slice or (0, len(fin["mult_scalars"]))))
@@ -182,7 +201,7 @@ def prove_trace(trace, n_bits=128, tape_seed=None,
         [int(v) for v in fin["add_py"][as_]],
         [int(v) for v in fin["add_rx"][as_]],
         [int(v) for v in fin["add_ry"][as_]],
-        add_rz, tape_seed=tape_seed)
+        add_rz, tape_seed=tape_seed, full_snark=full_snark)
     print("")
     weights = [int(w) for w in fin["mult_scalars"][ms]]
     if weights:
@@ -190,7 +209,7 @@ def prove_trace(trace, n_bits=128, tape_seed=None,
             weights,
             [int(v) for v in fin["mult_px"][ms]],
             [int(v) for v in fin["mult_py"][ms]],
-            n_bits=n_bits, tape_seed=tape_seed)
+            n_bits=n_bits, tape_seed=tape_seed, full_snark=full_snark)
     else:
         print("Number of Point Multiplications: 0")
         stats_mult = ProofStats(0, 0, 0)
