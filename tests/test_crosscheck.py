@@ -1,0 +1,121 @@
+"""Crosscheck proxy suite (see crosscheck/README.md).
+
+No Rust toolchain exists in this environment, so direct acceptance by
+the reference verifier cannot be executed here.  These tests pin the
+strongest available substitutes:
+
+  1. golden challenge streams — prover AND verifier must reproduce the
+     recorded Fiat-Shamir challenge bytes exactly (any transcript/layout
+     drift fails);
+  2. the serialized proof bytes are pinned (deterministic tape);
+  3. systematic proof tampering — mutating each section of the
+     serialized proof must yield clean rejection (False, no exception).
+"""
+
+import json
+import os
+
+import pytest
+
+from vpin_tpu.transcript.merlin import Transcript
+from vpin_tpu.snark import (
+    SNARKGens, cp_commit_witness, cp_snark_prove, cp_snark_verify,
+)
+from vpin_tpu.utils.bincode import deserialize_snark, serialize_snark
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "crosscheck",
+                      "golden", "point_add_cp_challenges.json")
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "crosscheck"))
+    from gen_golden import build_fixture
+    inst, vp, vi, vf, inputs, nc, nv, ni, nnz = build_fixture()
+    gens = SNARKGens(nc, nv, ni, nnz)
+    pv, cv, bv, cpc, cic = cp_commit_witness(vp, vi, vf, gens, tape_seed=11)
+    return inst, vf, inputs, gens, pv, cv, bv, cpc, cic
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN) as fh:
+        return json.load(fh)
+
+
+@pytest.fixture(scope="module")
+def proof_and_logs(fixture):
+    inst, vf, inputs, gens, pv, cv, bv, cpc, cic = fixture
+    plog = []
+    pt = Transcript(b"snark_example", log=plog)
+    proof = cp_snark_prove(inst, vf, inputs, gens, pt, pv, cv, bv,
+                           tape_seed=11, with_eval_proof=False)
+    vlog = []
+    vt = Transcript(b"snark_example", log=vlog)
+    ok = cp_snark_verify(proof, inst, inputs, vt, gens, cpc, cic)
+    return proof, plog, vlog, ok
+
+
+def test_prover_challenge_stream_matches_golden(golden, proof_and_logs):
+    _, plog, _, _ = proof_and_logs
+    assert [list(x) for x in plog] == [list(x) for x in
+                                       golden["prover_challenges"]]
+
+
+def test_verifier_challenge_stream_matches_golden(golden, proof_and_logs):
+    _, _, vlog, ok = proof_and_logs
+    assert ok
+    assert [list(x) for x in vlog] == [list(x) for x in
+                                       golden["verifier_challenges"]]
+
+
+def test_proof_bytes_match_golden(golden, proof_and_logs):
+    proof, _, _, _ = proof_and_logs
+    assert serialize_snark(proof).hex() == golden["proof_hex"]
+
+
+def test_systematic_tamper_rejection(golden, fixture):
+    """Flip bytes across the serialized proof; every mutation must be
+    cleanly rejected (malformed decodes count as rejection)."""
+    inst, vf, inputs, gens, pv, cv, bv, cpc, cic = fixture
+    blob = bytes.fromhex(golden["proof_hex"])
+
+    # sanity: the pristine blob verifies
+    vt = Transcript(b"snark_example")
+    assert cp_snark_verify(deserialize_snark(blob), inst, inputs, vt, gens,
+                           cpc, cic)
+
+    n = len(blob)
+    offsets = sorted({1, 9, n // 4, n // 2, 3 * n // 4, n - 2,
+                      n // 3, 2 * n // 3})
+    rejected = 0
+    for off in offsets:
+        mutated = bytearray(blob)
+        mutated[off] ^= 0x01
+        try:
+            bad = deserialize_snark(bytes(mutated))
+        except Exception:
+            rejected += 1          # failed to decode == rejected
+            continue
+        vt = Transcript(b"snark_example")
+        assert cp_snark_verify(bad, inst, inputs, vt, gens, cpc, cic) \
+            is False, f"tampered byte {off} accepted"
+        rejected += 1
+    assert rejected == len(offsets)
+
+    # structural mutations
+    base = deserialize_snark(blob)
+    mut = deserialize_snark(blob)
+    mut.r1cs_sat_proof.sc_proof_phase1.comm_polys.pop()
+    vt = Transcript(b"snark_example")
+    assert cp_snark_verify(mut, inst, inputs, vt, gens, cpc, cic) is False
+
+    mut2 = deserialize_snark(blob)
+    mut2.r1cs_sat_proof.sc_proof_phase2.proofs[0].z = []
+    vt = Transcript(b"snark_example")
+    assert cp_snark_verify(mut2, inst, inputs, vt, gens, cpc, cic) is False
+    del base

@@ -2,6 +2,8 @@
 
 import random
 
+import pytest
+
 from vpin_tpu.curve.host_ec import E2_G_HOST, E2_ORDER
 from vpin_tpu.transcript.merlin import Transcript
 from vpin_tpu.gadgets.point_addition import point_addition_gadget
@@ -23,6 +25,7 @@ def _gadget(n):
     return point_addition_gadget(px, py, rx, ry, rz)
 
 
+@pytest.mark.slow
 def test_nizk_prove_verify():
     inst, _, _, vars_full, inputs, nc, nv, ni, _ = _gadget(2)
     gens = NIZKGens(nc, nv, ni)

@@ -39,6 +39,7 @@ def test_small_multiples():
         assert encs[k].hex() == h, k
 
 
+@pytest.mark.slow
 def test_decode_roundtrip_and_group_law():
     B = RPoint.basepoint()
     twoB = B + B
@@ -59,6 +60,7 @@ def test_decode_rejects_bad_encodings():
         RPoint.decompress(b"\xff" * 32)  # non-canonical
 
 
+@pytest.mark.slow
 def test_one_way_map_consistency():
     chunks = [bytes([i]) * 64 for i in range(4)]
     pts = R.from_uniform_bytes(chunks)
@@ -70,6 +72,7 @@ def test_one_way_map_consistency():
     assert R.encode_bytes(pts2) == encs
 
 
+@pytest.mark.slow
 def test_pedersen_gens_and_homomorphism():
     from vpin_tpu.commit import MultiCommitGens, commit_vec_ints, commit_scalar
     gens = MultiCommitGens.new(4, b"test-gens")

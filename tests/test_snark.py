@@ -66,6 +66,7 @@ def test_point_mult_gadget_sat_small_n():
             assert qx == want.x and qy == want.y
 
 
+@pytest.mark.slow
 def test_cp_snark_point_add_end_to_end():
     trace = _add_trace(4)
     inst, vars_para, vars_input, vars_full, inputs, nc, nv, ni, nnz = \

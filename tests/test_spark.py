@@ -30,6 +30,7 @@ def _evaluate(mat, rx, ry):
     return mat.evaluate(eq_rx, eq_ry)
 
 
+@pytest.mark.slow
 def test_sparse_poly_commit_eval_roundtrip():
     # analogous to reference sparse_mlpoly.rs check_sparse_polyeval_proof
     # (256x256 matrix there; smaller here for CPU test budget)
@@ -62,6 +63,7 @@ def test_sparse_poly_commit_eval_roundtrip():
         assert not ok
 
 
+@pytest.mark.slow
 def test_cp_snark_with_eval_proof():
     from vpin_tpu.curve.host_ec import E2_G_HOST, E2_ORDER, host_infinity
     from vpin_tpu.gadgets.point_addition import point_addition_gadget

@@ -6,9 +6,14 @@ Mirrors Spartan's commitments.rs exactly:
     (reference: Spartan/src/commitments.rs:20-38);
   * commit = MSM(scalars, G) + blind * h (commitments.rs:74-98);
   * the Hyrax row-commit (DensePolynomial::commit_inner,
-    dense_mlpoly.rs:160-191) becomes one batched ladder over an
-    (L_size, R_size) grid + a row reduction — the rayon `par_iter` of the
-    reference is replaced by device batching (and later by sharded pjit).
+    dense_mlpoly.rs:160-191) batches all rows into ONE windowed-table
+    MSM kernel — the rayon `par_iter` of the reference is replaced by
+    device batching (and sharded across a mesh by parallel/hyrax.py).
+
+All MSMs run through curve/msm.py's windowed digit tables.  Generator
+vectors are fixed per (label, n), so their tables are built once and
+amortize across every commitment of a proof (~16x fewer group ops than
+the former 253-round ladder).
 """
 
 from __future__ import annotations
@@ -18,20 +23,25 @@ import hashlib
 from typing import List, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..field.prime_field import FQ, int_to_limbs
 from ..curve.ristretto import (
     RISTRETTO, PointE, RISTRETTO_BASEPOINT_COMPRESSED,
 )
+from ..curve.msm import FixedBaseMSM, host_digits, limbs_to_digits, msm_oneshot
 
 R = RISTRETTO
 
+_ONE_PLAIN = jnp.asarray(int_to_limbs(1))
 
-def _demont_bits(scalars_mont: jnp.ndarray, n_bits: int = 253) -> jnp.ndarray:
-    plain = FQ.mul(scalars_mont,
-                   jnp.broadcast_to(jnp.asarray(int_to_limbs(1)), scalars_mont.shape))
-    return FQ.limbs_to_bits(plain, n_bits)
+
+@jax.jit
+def digits_from_mont(scalars_mont: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery-form scalar limbs (..., 16) -> base-256 digits (..., 32)."""
+    plain = FQ.mul(scalars_mont, jnp.broadcast_to(_ONE_PLAIN, scalars_mont.shape))
+    return limbs_to_digits(plain)
 
 
 class MultiCommitGens:
@@ -41,6 +51,8 @@ class MultiCommitGens:
         self.n = n
         self.G = G          # (n,) batch
         self.h = h          # () single
+        self._G_msm = None
+        self._h_msm = None
 
     @staticmethod
     @functools.lru_cache(maxsize=None)
@@ -55,6 +67,18 @@ class MultiCommitGens:
         h = PointE(*(c[n] for c in pts))
         return MultiCommitGens(n, G, h)
 
+    @property
+    def G_msm(self) -> FixedBaseMSM:
+        if self._G_msm is None:
+            self._G_msm = FixedBaseMSM(R, self.G)
+        return self._G_msm
+
+    @property
+    def h_msm(self) -> FixedBaseMSM:
+        if self._h_msm is None:
+            self._h_msm = FixedBaseMSM(R, PointE(*(c[None] for c in self.h)))
+        return self._h_msm
+
     def split_at(self, mid: int) -> Tuple["MultiCommitGens", "MultiCommitGens"]:
         g1 = PointE(*(c[:mid] for c in self.G))
         g2 = PointE(*(c[mid:] for c in self.G))
@@ -67,14 +91,17 @@ class MultiCommitGens:
         return MultiCommitGens(self.n, R.pscalar_mul_bits(self.G, bits), self.h)
 
 
+def _blind_term(blind: int, gens: MultiCommitGens) -> PointE:
+    return gens.h_msm.msm(jnp.asarray(host_digits([blind])))
+
+
 def commit_scalar(x: int, blind: int, gens: MultiCommitGens) -> PointE:
     """x*G[0] + blind*h for single host scalars."""
     assert gens.n == 1
-    from ..curve.weierstrass import scalars_to_bits
-    G0 = PointE(*(c[0] for c in gens.G))
-    stack = PointE(*(jnp.stack([a[0], b], axis=0) for a, b in zip(gens.G, gens.h)))
-    bits = scalars_to_bits([x % FQ.modulus, blind % FQ.modulus], 253)
-    return R.psum_points(R.pscalar_mul_bits(stack, bits), axis=0)
+    dig = jnp.asarray(host_digits([x, blind]))           # (2, 32)
+    xg = gens.G_msm.msm(dig[:1])
+    hb = gens.h_msm.msm(dig[1:])
+    return R.padd(xg, hb)
 
 
 def commit_vec_dev(scalars_mont: jnp.ndarray, blind: int,
@@ -82,40 +109,34 @@ def commit_vec_dev(scalars_mont: jnp.ndarray, blind: int,
     """MSM(scalars, G) + blind*h; scalars are a device FQ vector (n, 16)."""
     n = scalars_mont.shape[0]
     assert gens.n == n, (gens.n, n)
-    bits = np.asarray(_demont_bits(scalars_mont))
-    msm = R.psum_points(R.pscalar_mul_bits(gens.G, jnp.asarray(bits)), axis=0)
+    msm = gens.G_msm.msm(digits_from_mont(scalars_mont))
     if blind % FQ.modulus == 0:
         return msm
-    from ..curve.weierstrass import scalars_to_bits
-    hb = R.pscalar_mul_bits(PointE(*(c[None] for c in gens.h)),
-                            scalars_to_bits([blind % FQ.modulus], 253))
-    return R.padd(msm, PointE(*(c[0] for c in hb)))
+    return R.padd(msm, _blind_term(blind, gens))
 
 
 def commit_vec_ints(scalars: List[int], blind: int, gens: MultiCommitGens) -> PointE:
-    return commit_vec_dev(FQ.to_mont([s % FQ.modulus for s in scalars]), blind, gens)
+    msm = gens.G_msm.msm(jnp.asarray(host_digits(scalars)))
+    if blind % FQ.modulus == 0:
+        return msm
+    return R.padd(msm, _blind_term(blind, gens))
 
 
 def hyrax_commit(Z_mont: jnp.ndarray, blinds: List[int],
                  gens_n: MultiCommitGens) -> PointE:
-    """Row commitments of Z viewed as an (L, R) matrix: one MSM per row,
-    all rows batched into a single ladder (reference commit_inner)."""
-    L = len(blinds)
+    """Row commitments of Z viewed as an (L, R) matrix: one table-MSM per
+    row, all rows batched into a single kernel (reference commit_inner)."""
+    Lr = len(blinds)
     n = Z_mont.shape[0]
-    Rsz = n // L
-    assert L * Rsz == n and gens_n.n == Rsz
-    bits = np.asarray(_demont_bits(Z_mont)).reshape(L, Rsz, -1)
-    Gb = PointE(*(jnp.broadcast_to(c[None], (L, Rsz, 16)) for c in gens_n.G))
-    rows = R.psum_points(R.pscalar_mul_bits(Gb, jnp.asarray(bits)), axis=1)  # (L,)
-    from ..curve.weierstrass import scalars_to_bits
-    hb = R.pscalar_mul_bits(PointE(*(jnp.broadcast_to(c, (L, 16)) for c in gens_n.h)),
-                            scalars_to_bits([b % FQ.modulus for b in blinds], 253))
+    Rsz = n // Lr
+    assert Lr * Rsz == n and gens_n.n == Rsz
+    digits = digits_from_mont(Z_mont).reshape(Lr, Rsz, 32)
+    rows = gens_n.G_msm.msm(digits)                       # (L,)
+    hb = gens_n.h_msm.msm(jnp.asarray(host_digits(blinds))[:, None, :])  # (L,)
     return R.padd(rows, hb)
 
 
 def msm_points(scalars: List[int], points: PointE) -> PointE:
-    """Generic host-scalar MSM over a (n,) point batch (vartime MSM stand-in,
-    reference group.rs:103-122)."""
-    from ..curve.weierstrass import scalars_to_bits
-    bits = scalars_to_bits([s % FQ.modulus for s in scalars], 253)
-    return R.psum_points(R.pscalar_mul_bits(points, bits), axis=0)
+    """Generic host-scalar MSM over a (n,) point batch (vartime MSM
+    equivalent, reference group.rs:103-122); one-shot windowed table."""
+    return msm_oneshot(R, points, jnp.asarray(host_digits(scalars)))

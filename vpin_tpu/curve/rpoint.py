@@ -73,13 +73,14 @@ def rpoint_stack(points: Sequence[RPoint]) -> PointE:
 
 
 def msm_host(scalars: Sequence[int], points: Sequence[RPoint]) -> RPoint:
-    """MSM over a small host list of points (vartime-MSM stand-in)."""
+    """MSM over a host list of points (vartime MSM equivalent, reference
+    Spartan/src/group.rs:103-122); one-shot windowed-table MSM."""
     assert len(scalars) == len(points)
     if not points:
         return RPoint.identity()
+    from .msm import host_digits, msm_oneshot
     stack = rpoint_stack(points)
-    bits = scalars_to_bits([s % FQ.modulus for s in scalars], 253)
-    out = R.psum_points(R.pscalar_mul_bits(stack, bits), axis=0)
+    out = msm_oneshot(R, stack, jnp.asarray(host_digits(list(scalars))))
     return RPoint(out)
 
 

@@ -118,7 +118,7 @@ def build_matrices(n_adds: int) -> Tuple[list, list, list, int, int, int]:
         rows = np.concatenate([p[0] for p in parts])
         cols = np.concatenate([p[1] for p in parts])
         vals = np.concatenate([p[2] for p in parts])
-        return list(zip(rows.tolist(), cols.tolist(), vals.tolist()))
+        return (rows, cols, vals)          # array triple (SparseMat-native)
 
     return (flatten(A), flatten(B), flatten(C),
             10 * n_adds, num_vars, 0)
@@ -143,16 +143,24 @@ def _pa_witness(px, py, rx, ry, rz):
     return c, s1, s2, s3, t1, t2, t3, t4, x3, y3
 
 
+DEVICE_WITNESS_THRESHOLD = 200_000
+
+
 def point_addition_gadget(add_px: List[int], add_py: List[int],
                           add_rx: List[int], add_ry: List[int],
-                          add_rz: List[int]):
+                          add_rz: List[int], device: bool = None):
     """Build instance + assignments from a recorded add trace.
 
     Returns (inst, vars_para, vars_input, vars_full, inputs, num_cons,
-    num_vars, num_inputs, nnz)."""
+    num_vars, num_inputs, nnz).  Above DEVICE_WITNESS_THRESHOLD variables
+    (or with device=True) the three assignments are returned as
+    Montgomery device arrays — no Python-int round trip — which every
+    prove path accepts directly."""
     n = len(add_px)
     A, B, C, num_cons, num_vars, num_inputs = build_matrices(n)
     inst = R1CSInstance(num_cons, num_vars, num_inputs, A, B, C)
+    if device is None:
+        device = num_vars > DEVICE_WITNESS_THRESHOLD
 
     px = FQ.to_mont(add_px)
     py = FQ.to_mont(add_py)
@@ -167,11 +175,16 @@ def point_addition_gadget(add_px: List[int], add_py: List[int],
     flat = block.reshape(n * 15, 16)
     zero_tail = FQ.zeros((1,))
     vars_dev = jnp.concatenate([flat, zero_tail], axis=0)   # length 15n+1
-
-    vars_full = [int(v) for v in FQ.from_mont(vars_dev)]
-    vars_para = [0] * num_vars
-    vars_input = list(vars_full)
     inputs: List[int] = []
+
+    if device:
+        vars_full = vars_dev
+        vars_para = FQ.zeros((num_vars,))
+        vars_input = vars_dev
+    else:
+        vars_full = [int(v) for v in FQ.from_mont(vars_dev)]
+        vars_para = [0] * num_vars
+        vars_input = list(vars_full)
 
     assert inst.is_sat(vars_full, inputs), "point-add gadget unsatisfied"
     return inst, vars_para, vars_input, vars_full, inputs, \

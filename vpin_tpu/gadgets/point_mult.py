@@ -177,7 +177,7 @@ def build_matrices(n_mults: int, n: int = N_BITS_DEFAULT):
         rows = np.concatenate([p[0] for p in parts])
         cols = np.concatenate([p[1] for p in parts])
         vals = np.concatenate([p[2] for p in parts])
-        return list(zip(rows.tolist(), cols.tolist(), vals.tolist()))
+        return (rows, cols, vals)          # array triple (SparseMat-native)
 
     return (flatten(A_parts), flatten(B_parts), flatten(C_parts),
             onc * N, num_vars, num_inputs)
@@ -242,15 +242,23 @@ def _mult_witness_scan(px, py, bits_f):
     return outs
 
 
+DEVICE_WITNESS_THRESHOLD = 200_000
+
+
 def point_mult_gadget(weights: List[int], mult_px: List[int],
-                      mult_py: List[int], n: int = N_BITS_DEFAULT):
+                      mult_py: List[int], n: int = N_BITS_DEFAULT,
+                      device: bool = None):
     """Build instance + assignments from a recorded mult trace.
 
     Returns (inst, vars_para, vars_input, vars_full, inputs, num_cons,
-    num_vars, num_inputs, nnz)."""
+    num_vars, num_inputs, nnz).  Above DEVICE_WITNESS_THRESHOLD variables
+    (or with device=True) the assignments stay as Montgomery device
+    arrays end-to-end (LeNet-L5 scale: no 2e7-int Python round trip)."""
     N = len(weights)
     A, B, C, num_cons, num_vars, num_inputs = build_matrices(N, n)
     inst = R1CSInstance(num_cons, num_vars, num_inputs, A, B, C)
+    if device is None:
+        device = num_vars > DEVICE_WITNESS_THRESHOLD
 
     for w in weights:
         assert 0 <= int(w) < (1 << n), "scalar exceeds gadget bit width"
@@ -293,15 +301,21 @@ def point_mult_gadget(weights: List[int], mult_px: List[int],
     ], axis=1)
     assert block.shape[1] == onv, block.shape
     flat = jnp.concatenate([block.reshape(N * onv, 16), FQ.zeros((1,))], axis=0)
-
-    vars_full = [int(v) for v in FQ.from_mont(flat)]
-    vars_para = [0] * num_vars
-    for jj, w in enumerate(weights):
-        vars_para[n + onv * jj] = int(w) % L
-    vars_input = list(vars_full)
-    for jj in range(N):
-        vars_input[n + onv * jj] = 0
     inputs = [E2_A]
+
+    scalar_slots = n + onv * np.arange(N, dtype=np.int64)
+    if device:
+        vars_full = flat
+        vars_para = FQ.zeros((num_vars,)).at[jnp.asarray(scalar_slots)].set(a_vals)
+        vars_input = flat.at[jnp.asarray(scalar_slots)].set(FQ.zeros((N,)))
+    else:
+        vars_full = [int(v) for v in FQ.from_mont(flat)]
+        vars_para = [0] * num_vars
+        for jj, w in enumerate(weights):
+            vars_para[n + onv * jj] = int(w) % L
+        vars_input = list(vars_full)
+        for jj in range(N):
+            vars_input[n + onv * jj] = 0
 
     assert inst.is_sat(vars_full, inputs), "point-mult gadget unsatisfied"
     return inst, vars_para, vars_input, vars_full, inputs, \

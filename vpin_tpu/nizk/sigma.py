@@ -14,6 +14,7 @@ from typing import List, Sequence, Tuple
 from ..field.prime_field import L_MODULUS as L
 from ..curve.rpoint import RPoint, msm_host, compress_many, decompress_many
 from ..transcript.merlin import Transcript, RandomTape
+from ..utils.errors import verify_guard
 from ..commit.pedersen import MultiCommitGens, commit_scalar, commit_vec_ints
 
 
@@ -66,6 +67,7 @@ class KnowledgeProof:
         z2 = (r * c + t2) % L
         return KnowledgeProof(alpha, z1, z2), C
 
+    @verify_guard(failure=False)
     def verify(self, gens_1, transcript, C: bytes) -> bool:
         transcript.append_protocol_name(KnowledgeProof.PROTOCOL)
         transcript.append_point(b"C", C)
@@ -101,6 +103,7 @@ class EqualityProof:
         z = (c * (s1 - s2) + r) % L
         return EqualityProof(alpha, z), C1, C2
 
+    @verify_guard(failure=False)
     def verify(self, gens_1, transcript, C1: bytes, C2: bytes) -> bool:
         transcript.append_protocol_name(EqualityProof.PROTOCOL)
         transcript.append_point(b"C1", C1)
@@ -157,6 +160,7 @@ class ProductProof:
         z5 = (b5 + c * (rZ - rX * y)) % L
         return ProductProof(alpha, beta, delta, (z1, z2, z3, z4, z5)), X, Y, Z
 
+    @verify_guard(failure=False)
     def verify(self, gens_1, transcript, X: bytes, Y: bytes, Z: bytes) -> bool:
         transcript.append_protocol_name(ProductProof.PROTOCOL)
         transcript.append_point(b"X", X)
@@ -225,6 +229,7 @@ class DotProductProof:
         z_beta = (c * blind_y + r_beta) % L
         return DotProductProof(delta, beta, z, z_delta, z_beta), Cx, Cy
 
+    @verify_guard(failure=False)
     def verify(self, gens_1, gens_n, transcript, a: Sequence[int],
                Cx: bytes, Cy: bytes) -> bool:
         assert gens_n.n == len(a) and gens_1.n == 1
@@ -254,13 +259,23 @@ class BulletReductionProof:
     R_vec: List[bytes]
 
     @staticmethod
-    def prove(transcript, Q: RPoint, G_vec: List[RPoint], H: RPoint,
+    def prove(transcript, Q: RPoint, G_pts, H: RPoint,
               a_vec: Sequence[int], b_vec: Sequence[int], blind: int,
               blinds_vec: Sequence[Tuple[int, int]]):
-        G = list(G_vec)
+        """G_pts: stacked PointE batch of the n generators.  The per-round
+        L/R cross-terms are one-shot table MSMs; the generator fold
+        u_inv*G_L + u*G_R runs as two batched scalar-mults (not n separate
+        2-point MSMs).  Matches bullet.rs:32-132 on the transcript."""
+        import numpy as np
+        import jax.numpy as jnp
+        from ..curve.ristretto import RISTRETTO, PointE
+        from ..curve.weierstrass import scalars_to_bits
+        from ..commit.pedersen import msm_points
+        Rg = RISTRETTO
+
         a = [x % L for x in a_vec]
         b = [x % L for x in b_vec]
-        n = len(G)
+        n = G_pts.x.shape[0]
         assert n & (n - 1) == 0
         lg_n = n.bit_length() - 1
         assert len(blinds_vec) == 2 * lg_n
@@ -268,19 +283,25 @@ class BulletReductionProof:
         L_out, R_out = [], []
         blind_fin = blind % L
         bi = iter(blinds_vec)
+        G = G_pts
+
+        def _with_QH(half):
+            return PointE(*(jnp.concatenate([c, q[None], h[None]], axis=0)
+                            for c, q, h in zip(half, Q.p, H.p)))
 
         while n != 1:
             n //= 2
             a_Lh, a_R = a[:n], a[n:]
             b_Lh, b_R = b[:n], b[n:]
-            G_L, G_R = G[:n], G[n:]
+            G_L = PointE(*(c[:n] for c in G))
+            G_R = PointE(*(c[n:] for c in G))
 
             c_L = dot_ints(a_Lh, b_R)
             c_R = dot_ints(a_R, b_Lh)
             blind_L, blind_R = next(bi)
 
-            Lp = msm_host(a_Lh + [c_L, blind_L], G_R + [Q, H])
-            Rp = msm_host(a_R + [c_R, blind_R], G_L + [Q, H])
+            Lp = RPoint(msm_points(a_Lh + [c_L, blind_L], _with_QH(G_R)))
+            Rp = RPoint(msm_points(a_R + [c_R, blind_R], _with_QH(G_L)))
             Lc, Rc = Lp.compress(), Rp.compress()
             transcript.append_point(b"L", Lc)
             transcript.append_point(b"R", Rc)
@@ -289,15 +310,18 @@ class BulletReductionProof:
 
             a = [(a_Lh[i] * u + u_inv * a_R[i]) % L for i in range(n)]
             b = [(b_Lh[i] * u_inv + u * b_R[i]) % L for i in range(n)]
-            G = [msm_host([u_inv, u], [G_L[i], G_R[i]]) for i in range(n)]
+            bits = np.asarray(scalars_to_bits([u_inv, u], 253))
+            G = Rg.padd(Rg.pscalar_mul_bits(G_L, bits[0]),
+                        Rg.pscalar_mul_bits(G_R, bits[1]))
 
             blind_fin = (blind_fin + blind_L * u * u + blind_R * u_inv * u_inv) % L
             L_out.append(Lc)
             R_out.append(Rc)
 
-        Gamma_hat = msm_host([a[0], a[0] * b[0] % L, blind_fin], [G[0], Q, H])
+        g_fin = RPoint(PointE(*(c[0] for c in G)))
+        Gamma_hat = msm_host([a[0], a[0] * b[0] % L, blind_fin], [g_fin, Q, H])
         return (BulletReductionProof(L_out, R_out), Gamma_hat,
-                a[0], b[0], G[0], blind_fin)
+                a[0], b[0], g_fin, blind_fin)
 
     def verification_scalars(self, n: int, transcript):
         lg_n = len(self.L_vec)
@@ -320,12 +344,17 @@ class BulletReductionProof:
             s.append(s[i - k] * u_sq[(lg_n - 1) - lg_i] % L)
         return u_sq, u_inv_sq, s
 
+    @verify_guard(failure=None)
     def verify(self, n: int, a: Sequence[int], transcript,
-               Gamma: RPoint, G: List[RPoint]):
+               Gamma: RPoint, gens_n: MultiCommitGens):
+        """The s-vector MSM over the (fixed) generators rides the cached
+        digit table (reference bullet.rs:191-225 one-big-MSM trick)."""
+        import jax.numpy as jnp
+        from ..curve.msm import host_digits
         u_sq, u_inv_sq, s = self.verification_scalars(n, transcript)
         Ls = decompress_many(self.L_vec)
         Rs = decompress_many(self.R_vec)
-        G_hat = msm_host(s, G)
+        G_hat = RPoint(gens_n.G_msm.msm(jnp.asarray(host_digits(s))))
         a_hat = dot_ints(a, s)
         Gamma_hat = msm_host(u_sq + u_inv_sq + [1], Ls + Rs + [Gamma])
         return G_hat, Gamma_hat, a_hat
@@ -373,9 +402,9 @@ class DotProductProofLog:
         h = RPoint(gens.gens_1.h)
 
         blind_Gamma = (blind_x + r * blind_y) % L
-        G_list = gens_G_list(gens.gens_n)
         bullet, Gamma_hat, x_hat, a_hat, g_hat, rhat_Gamma = \
-            BulletReductionProof.prove(transcript, gens_1_scaled_G, G_list, h,
+            BulletReductionProof.prove(transcript, gens_1_scaled_G,
+                                       gens.gens_n.G, h,
                                        x_vec, a_vec, blind_Gamma, blinds_vec)
         y_hat = x_hat * a_hat % L
 
@@ -389,6 +418,7 @@ class DotProductProofLog:
         z2 = (a_hat * (c * rhat_Gamma + r_beta) + r_delta) % L
         return DotProductProofLog(bullet, delta, beta, z1, z2), Cx, Cy
 
+    @verify_guard(failure=False)
     def verify(self, n: int, gens, transcript, a: Sequence[int],
                Cx: bytes, Cy: bytes) -> bool:
         assert gens.n == n and len(a) == n
@@ -403,7 +433,7 @@ class DotProductProofLog:
         Gamma = RPoint.decompress(Cx) + RPoint.decompress(Cy).mul(r)
 
         g_hat, Gamma_hat, a_hat = self.bullet.verify(
-            n, a, transcript, Gamma, gens_G_list(gens.gens_n))
+            n, a, transcript, Gamma, gens.gens_n)
         transcript.append_point(b"delta", self.delta)
         transcript.append_point(b"beta", self.beta)
         c = transcript.challenge_scalar(b"c")

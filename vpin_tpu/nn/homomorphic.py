@@ -225,17 +225,31 @@ class HomomorphicEngine:
         rho_bits = scalars_to_bits(rho, 8 * self.prf_trunc_bytes)
         left = E2.psum_points(E2.pscalar_mul_bits(C, rho_bits), axis=0)
 
-        # combined column weights, exact integer arithmetic
+        # Combined column weights, exact integer arithmetic (reference
+        # Decimal path, Server.py:226-250).  Signed fixed-point weights
+        # make the combination signed; the reference would export the raw
+        # signed/overflowing decimal string and panic its own u128 loader
+        # (load_data.rs:21-23), so we record the sign-folded witness
+        # (sign(s)*P, |s|) — homomorphically identical (s*P == |s|*(-P)
+        # for s<0) and u128/n=128 gadget compatible.  If |s| still
+        # overflows 128 bits (possible for wide FC layers), reduce mod the
+        # E2 *group order* q (the scalar ring the points actually live in)
+        # and let the prover pick the 253-bit mult gadget.
         s = [sum(int(rho[j]) * int(weights[kk, j]) for j in range(n_out))
              for kk in range(n_in)]
-        for v in s:
-            if v < 0:
-                raise RLCCheckError(
-                    "negative rho-combined FC weight; the reference protocol "
-                    "(u128 witness export) cannot represent this")
-        n_bits = max(1, max(v.bit_length() for v in s))
-        temp = E2.pscalar_mul_bits(P, scalars_to_bits(s, n_bits))
-        self.trace.record_mults(P, s)
+        from ..curve.host_ec import E2_ORDER
+        s_rec = []
+        neg = np.zeros((n_in,), dtype=bool)
+        for i, v in enumerate(s):
+            if abs(v) < (1 << 128):
+                neg[i] = v < 0
+                s_rec.append(abs(v))
+            else:
+                s_rec.append(v % E2_ORDER)
+        P_eff = E2.pselect(neg, E2.pneg(P), P) if neg.any() else P
+        n_bits = max(1, max(v.bit_length() for v in s_rec))
+        temp = E2.pscalar_mul_bits(P_eff, scalars_to_bits(s_rec, n_bits))
+        self.trace.record_mults(P_eff, s_rec)
         right = self._record_chain(temp)
 
         self.pending_checks.append(E2.peq(left, right))

@@ -26,6 +26,17 @@ def ints_to_dev(vals: Sequence[int]) -> jnp.ndarray:
     return FQ.to_mont([int(v) % L_MODULUS for v in vals])
 
 
+def small_ints_to_dev(arr: np.ndarray) -> jnp.ndarray:
+    """Fast path: nonnegative int64 numpy array -> Montgomery device array
+    (vectorized limb split; no per-element Python)."""
+    arr = np.asarray(arr, dtype=np.int64)
+    assert arr.size == 0 or arr.min() >= 0
+    limbs = np.zeros(arr.shape + (16,), dtype=np.uint32)
+    for i in range(4):
+        limbs[..., i] = ((arr >> (16 * i)) & 0xFFFF).astype(np.uint32)
+    return FQ._to_mont_jit(jnp.asarray(limbs))
+
+
 def dev_to_ints(arr) -> List[int]:
     return [int(v) for v in FQ.from_mont(arr).reshape(-1)]
 
@@ -110,7 +121,10 @@ class DensePoly:
         return DensePoly(self.Z)
 
     def bound_poly_var_top(self, r: int) -> None:
-        self.Z = _bound_top(self.Z, FQ.to_mont([r]))
+        r_dev = FQ.to_mont([r])
+        from ..parallel.ops import sharded_bound_top
+        out = sharded_bound_top(self.Z, r_dev[0])
+        self.Z = out if out is not None else _bound_top(self.Z, r_dev)
 
     def evaluate(self, r: Sequence[int]) -> int:
         assert len(r) == self.num_vars

@@ -56,8 +56,24 @@ def cmd_cnn(args):
     key = KeyPair.generate(random.Random(args.seed))
     table = BsgsTable.build(m=args.bsgs_m, cache_path=args.bsgs_cache)
     img = _make_image(args.size, args.seed)
-    res = run_cnn_workload(args.version, img, key, table,
-                           rng=random.Random(args.seed))
+    weights = None
+    if args.weight_scale is not None:
+        from ..nn.models import CNN_CONFIGS
+        fc1_in, fc1_out, _, _ = CNN_CONFIGS[args.version]
+        rngw = np.random.RandomState(args.seed)
+        weights = {
+            "weight_fc1": rngw.uniform(-args.weight_scale, args.weight_scale,
+                                       (fc1_in, fc1_out)).astype(np.float32),
+            "bias_fc1": rngw.uniform(-args.weight_scale, args.weight_scale,
+                                     (fc1_out,)).astype(np.float32),
+            "weight_fc2": rngw.uniform(-args.weight_scale, args.weight_scale,
+                                       (fc1_out, 10)).astype(np.float32),
+            "bias_fc2": rngw.uniform(-args.weight_scale, args.weight_scale,
+                                     (10,)).astype(np.float32),
+        }
+    res = run_cnn_workload(args.version, img, key, table, weights=weights,
+                           rng=random.Random(args.seed),
+                           max_steps=args.max_steps)
     print(f"Server: Number of EC point multiplications: {res.num_mults}")
     print(f"Server: Number of EC point additions: {res.num_adds}")
     print(f"Logits: {res.logits.tolist()}")
@@ -77,7 +93,12 @@ def cmd_lenet(args):
     key = KeyPair.generate(random.Random(args.seed))
     table = BsgsTable.build(m=args.bsgs_m, cache_path=args.bsgs_cache)
     img = _make_image(args.size, args.seed)
-    res = run_lenet_workload(img, key, table, rng=random.Random(args.seed))
+    if img.shape[0] < 32:  # reference pads MNIST 28x28 to 32x32
+        pad = (32 - img.shape[0]) // 2
+        img = np.pad(img, ((pad, 32 - img.shape[0] - pad),) * 2)
+    res = run_lenet_workload(img, key, table, rng=random.Random(args.seed),
+                             num_kernels=tuple(args.kernels),
+                             max_steps=args.max_steps)
     print(f"Server: Number of EC point multiplications: {res.num_mults}")
     print(f"Server: Number of EC point additions: {res.num_adds}")
     for name, (msl, asl) in res.layer_slices.items():
@@ -99,6 +120,21 @@ def cmd_prove(args):
     from .proof_runner import prove_tag_dir
     prove_tag_dir(args.dir, tape_seed=args.seed,
                   full_snark=not args.transparent)
+
+
+def cmd_serve_conv(args):
+    from ..nn.socket_runner import server_main
+    result = server_main(args.port, filter_size=args.filter,
+                         export_dir=args.export)
+    print(f"Server: Number of EC point multiplications: {result['num_mults']}")
+    print(f"Server: Number of EC point additions: {result['num_adds']}")
+
+
+def cmd_client_conv(args):
+    from ..nn.socket_runner import client_main
+    img = _make_image(args.size, args.seed)
+    result = client_main(args.port, img, seed=args.seed)
+    print(f"Client: server reported {result}")
 
 
 def cmd_bsgs(args):
@@ -132,6 +168,9 @@ def main(argv=None):
     c.add_argument("--export", type=str, default=None)
     c.add_argument("--prove", action="store_true")
     c.add_argument("--transparent", action="store_true")
+    c.add_argument("--weight-scale", type=float, default=None,
+                   help="use random weights of this magnitude (reduced runs)")
+    c.add_argument("--max-steps", type=int, default=None)
     c.set_defaults(fn=cmd_cnn)
 
     c = sub.add_parser("lenet", help="LeNet-5 workload (E4)")
@@ -142,6 +181,9 @@ def main(argv=None):
     c.add_argument("--export", type=str, default=None)
     c.add_argument("--prove", action="store_true")
     c.add_argument("--transparent", action="store_true")
+    c.add_argument("--kernels", type=int, nargs=3, default=(6, 16, 120),
+                   help="kernel counts per conv stage (reduced runs)")
+    c.add_argument("--max-steps", type=int, default=None)
     c.set_defaults(fn=cmd_lenet)
 
     c = sub.add_parser("prove", help="prove a rust_files/<tag> witness dir")
@@ -149,6 +191,18 @@ def main(argv=None):
     c.add_argument("--seed", type=int, default=None)
     c.add_argument("--transparent", action="store_true")
     c.set_defaults(fn=cmd_prove)
+
+    c = sub.add_parser("serve-conv", help="socket-mode conv server (two-process)")
+    c.add_argument("--port", type=int, default=35000)
+    c.add_argument("--filter", type=int, default=3, choices=[3, 5, 7])
+    c.add_argument("--export", type=str, default=None)
+    c.set_defaults(fn=cmd_serve_conv)
+
+    c = sub.add_parser("client-conv", help="socket-mode conv client (two-process)")
+    c.add_argument("--port", type=int, default=35000)
+    c.add_argument("--size", type=int, default=32)
+    c.add_argument("--seed", type=int, default=0)
+    c.set_defaults(fn=cmd_client_conv)
 
     c = sub.add_parser("bsgs", help="build the BSGS decryption table (E1)")
     c.add_argument("--m", type=int, default=3_200_000)

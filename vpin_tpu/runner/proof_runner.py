@@ -130,6 +130,11 @@ def prove_point_mult(weights, px, py, n_bits=128, tape_seed=None,
     if full_snark is None:
         full_snark = DEFAULT_CONFIG.with_eval_proof
     t0 = time.time()
+    if weights and max(int(w) for w in weights) >= (1 << n_bits):
+        # wide rLC-combined FC scalars (sign-folding couldn't keep them
+        # under 2^128; the reference u128 loader would panic here —
+        # load_data.rs:21-23).  Use the full-width double-and-add circuit.
+        n_bits = 253
     if not quiet:
         print("Point Multiplication Gadget...")
         print(f"Number of Point Multiplications: {len(weights)}")

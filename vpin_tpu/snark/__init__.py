@@ -8,6 +8,7 @@ from .cp_snark import (
     cp_snark_verify, pad_assignment, snark_encode,
 )
 from .nizk_api import NIZK, NIZKGens, instance_digest
+from .stock import SNARK, produce_synthetic_r1cs, snark_prove_synthetic
 
 __all__ = [
     "R1CSInstance", "SparseMat", "R1CSGens", "R1CSProof", "PolyCommitment",
@@ -15,4 +16,5 @@ __all__ = [
     "r1cs_verify_cp", "SNARKGens", "CPSnarkProof", "cp_commit_witness",
     "cp_snark_prove", "cp_snark_verify", "pad_assignment", "snark_encode",
     "NIZK", "NIZKGens", "instance_digest",
+    "SNARK", "produce_synthetic_r1cs", "snark_prove_synthetic",
 ]

@@ -21,6 +21,7 @@ from typing import List, Optional, Tuple
 from ..field.prime_field import L_MODULUS as L
 from ..poly.dense import DensePoly, ints_to_dev
 from ..transcript.merlin import Transcript, RandomTape
+from ..utils.errors import verify_guard
 from ..curve.rpoint import decompress_many
 from .r1cs import R1CSInstance
 from .r1csproof import (
@@ -35,10 +36,12 @@ def snark_encode(inst: R1CSInstance, gens: "SNARKGens"):
     """SNARK::encode: commit to the R1CS matrices (reference lib.rs:340-358).
     Returns (SparseMatPolyCommitment, dense decommitment)."""
     from ..spark.sparse_mlpoly import multi_commit
+    from ..utils.timer import span
     num_poly_vars_x = inst.num_cons.bit_length() - 1
     num_poly_vars_y = (2 * inst.num_vars).bit_length() - 1
-    return multi_commit([inst.A, inst.B, inst.C], num_poly_vars_x,
-                        num_poly_vars_y, gens.gens_r1cs_eval)
+    with span("SNARK::encode"):
+        return multi_commit([inst.A, inst.B, inst.C], num_poly_vars_x,
+                            num_poly_vars_y, gens.gens_r1cs_eval)
 
 
 def _ceil_log2(n: int) -> int:
@@ -80,30 +83,46 @@ class CPSnarkProof:
     r1cs_eval_proof: Optional[object] = None
 
     def size(self) -> int:
-        s = self.r1cs_sat_proof.size() + 3 * 32
-        if self.r1cs_eval_proof is not None:
-            s += self.r1cs_eval_proof.size()
-        return s
+        """Real serialized byte count (reference measures proof size as
+        bincode::serialize(...).len(), proof_point_add.rs:96-98)."""
+        from ..utils.bincode import serialize_snark
+        return len(serialize_snark(self))
 
 
-def pad_assignment(vals: List[int], n: int) -> List[int]:
+def pad_assignment(vals, n: int):
+    """Zero-pad a host int list OR a Montgomery device array to length n."""
+    import jax.numpy as jnp
+    from ..field.prime_field import FQ
+    if isinstance(vals, jnp.ndarray):
+        assert vals.shape[0] <= n
+        if vals.shape[0] == n:
+            return vals
+        return jnp.concatenate([vals, FQ.zeros((n - vals.shape[0],))], axis=0)
     assert len(vals) <= n
     return list(vals) + [0] * (n - len(vals))
 
 
-def cp_commit_witness(vars_para: List[int], vars_input: List[int],
-                      full_vars: List[int], gens: SNARKGens,
+def _assignment_poly(vals, n: int) -> DensePoly:
+    import jax.numpy as jnp
+    padded = pad_assignment(vals, n)
+    if isinstance(padded, jnp.ndarray):
+        return DensePoly(padded)
+    return DensePoly(ints_to_dev(padded))
+
+
+def cp_commit_witness(vars_para, vars_input,
+                      full_vars, gens: SNARKGens,
                       tape_seed: Optional[int] = None):
     """Commit the two witness shares and the combined witness
     (reference: proof_point_add.rs:44-78)."""
     n = gens.num_vars_padded
     tape1 = RandomTape(bytes([2]), seed=tape_seed)
-    poly_para = DensePoly(ints_to_dev(pad_assignment(vars_para, n)))
+    poly_para = _assignment_poly(vars_para, n)
     comm_para, blind_para = poly_commit(poly_para, gens.gens_r1cs_sat.gens_pc, tape1)
-    poly_input = DensePoly(ints_to_dev(pad_assignment(vars_input, n)))
+    poly_input = _assignment_poly(vars_input, n)
     comm_input, blind_input = poly_commit(poly_input, gens.gens_r1cs_sat.gens_pc, tape1)
 
-    poly_vars = DensePoly(ints_to_dev(pad_assignment(full_vars, n)))
+    poly_vars = _assignment_poly(full_vars, n)
     comm_vars, blind_vars = combined_commit(
         poly_vars, gens.gens_r1cs_sat.gens_pc, blind_para, blind_input)
 
@@ -123,16 +142,20 @@ def cp_snark_prove(inst: R1CSInstance, full_vars: List[int], inputs: List[int],
                    tape_seed: Optional[int] = None,
                    with_eval_proof: bool = False) -> CPSnarkProof:
     """my_lib_prove (commit_test.rs:59-133)."""
+    from ..utils.timer import Timer, span
+    t_all = Timer("SNARK::prove")
     tape = RandomTape(b"proof", seed=tape_seed)
     transcript.append_protocol_name(SNARK_PROTOCOL)
 
     n = gens.num_vars_padded
     padded_vars = pad_assignment(full_vars, n)
-    sat_proof, rx, ry = r1cs_prove_cp(
-        inst, padded_vars, inputs, gens.gens_r1cs_sat, transcript, tape,
-        poly_vars, comm_vars, blind_vars)
+    with span("R1CSProof::prove"):
+        sat_proof, rx, ry = r1cs_prove_cp(
+            inst, padded_vars, inputs, gens.gens_r1cs_sat, transcript, tape,
+            poly_vars, comm_vars, blind_vars)
 
-    Ar, Br, Cr = inst.evaluate(rx, ry)
+    with span("eval_sparse_polys"):
+        Ar, Br, Cr = inst.evaluate(rx, ry)
     transcript.append_scalar(b"Ar_claim", Ar)
     transcript.append_scalar(b"Br_claim", Br)
     transcript.append_scalar(b"Cr_claim", Cr)
@@ -140,12 +163,16 @@ def cp_snark_prove(inst: R1CSInstance, full_vars: List[int], inputs: List[int],
     eval_proof = None
     if with_eval_proof:
         from ..spark.sparse_mlpoly import R1CSEvalProof
-        eval_proof = R1CSEvalProof.prove(
-            decomm, rx, ry, (Ar, Br, Cr), gens.gens_r1cs_eval, transcript, tape)
+        with span("R1CSEvalProof::prove"):
+            eval_proof = R1CSEvalProof.prove(
+                decomm, rx, ry, (Ar, Br, Cr), gens.gens_r1cs_eval,
+                transcript, tape)
 
+    t_all.stop()
     return CPSnarkProof(sat_proof, (Ar, Br, Cr), eval_proof)
 
 
+@verify_guard(failure=False)
 def cp_snark_verify(proof: CPSnarkProof, inst: R1CSInstance, inputs: List[int],
                     transcript: Transcript, gens: SNARKGens,
                     comm_para: PolyCommitment, comm_input: PolyCommitment,

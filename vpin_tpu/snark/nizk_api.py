@@ -15,6 +15,7 @@ from typing import List, Tuple
 from ..field.prime_field import L_MODULUS as L
 from ..transcript.merlin import Transcript, RandomTape
 from ..utils.bincode import Writer
+from ..utils.errors import verify_guard
 from .r1cs import R1CSInstance
 from .r1csproof import R1CSGens, R1CSProof, r1cs_prove_stock, r1cs_verify_stock
 
@@ -63,6 +64,7 @@ class NIZK:
                                          gens.gens_r1cs_sat, transcript, tape)
         return NIZK(proof, (rx, ry))
 
+    @verify_guard(failure=False)
     def verify(self, inst: R1CSInstance, inputs: List[int],
                transcript: Transcript, gens: NIZKGens) -> bool:
         transcript.append_protocol_name(NIZK_PROTOCOL)

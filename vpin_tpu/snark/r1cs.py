@@ -1,14 +1,20 @@
 """R1CS instances as device-regularized sparse matrices.
 
 TPU-native counterpart of Spartan's SparseMatPolynomial / R1CSInstance
-(reference: Spartan/src/r1csinstance.rs, sparse_mlpoly.rs:440-500):
-  * multiply_vec (Az/Bz/Cz) pads each matrix to row-regular form — a
-    (num_cons, k_row) gather + field-mul + small tree reduction;
-  * compute_eval_table_sparse pads to column-regular form, with "heavy"
-    columns (e.g. the constant-one column that every gadget constraint
-    touches) split out and tree-reduced separately — no data-dependent
-    scatter anywhere;
-  * evaluate() contracts val * eq_rx[row] * eq_ry[col] in one fused pass.
+(reference: Spartan/src/r1csinstance.rs, sparse_mlpoly.rs:440-500).
+
+Scale design (LeNet-L5 is ~2e7 constraints / ~1e8 nonzeros):
+  * entries live as numpy arrays (rows/cols int64 + a small VALUE
+    CODEBOOK: gadget matrices draw values from a tiny set — powers of
+    two, +-1, +-2 — so values are int32 codes into a <=300-entry
+    codebook, 20 B/entry instead of Python tuples);
+  * multiply_vec / compute_eval_table regularize by COUNT BUCKETS: the
+    entries of every row (resp. column) with the same nonzero count form
+    one (m, k) gather+mul+tree-reduce kernel — no data-dependent
+    scatter, no padding blowup from one heavy row;
+  * row buckets shard over the active mesh (parallel/ops.py);
+  * evaluate() contracts val * eq_rx[row] * eq_ry[col] in device chunks.
+
 Instance::new padding semantics (pow2 cons/vars, input-column shift)
 follow lib.rs:146-244 exactly.
 """
@@ -41,128 +47,161 @@ def _regular_reduce(vals_mont, idx, z, nseg: int):
     return FQ.sum_reduce(prod, axis=1)
 
 
-@jax.jit
-def _masked_dot(vals_mont, gathered):
-    return FQ.sum_reduce(FQ.mul(vals_mont, gathered), axis=0)
+def _to_arrays(entries):
+    """Entries (list of (row, col, val) tuples OR (rows, cols, vals)
+    array triple) -> (rows int64, cols int64, vals object ndarray)."""
+    if isinstance(entries, tuple) and len(entries) == 3:
+        rows, cols, vals = entries
+        return (np.asarray(rows, dtype=np.int64),
+                np.asarray(cols, dtype=np.int64),
+                np.asarray(vals, dtype=object))
+    rows = np.fromiter((int(e[0]) for e in entries), dtype=np.int64,
+                       count=len(entries))
+    cols = np.fromiter((int(e[1]) for e in entries), dtype=np.int64,
+                       count=len(entries))
+    vals = np.empty(len(entries), dtype=object)
+    for i, e in enumerate(entries):
+        vals[i] = int(e[2])
+    return rows, cols, vals
+
+
+def _bucket_layout(keys: np.ndarray, others: np.ndarray, codes: np.ndarray,
+                   num_segments: int):
+    """Group entries by segment id `keys`; one (segs, idx, code) triple per
+    distinct per-segment nonzero count (segments of equal count batch
+    into a single regular kernel)."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    os_ = others[order]
+    cs = codes[order]
+    counts = np.bincount(ks, minlength=num_segments)
+    buckets = []
+    for k in np.unique(counts[counts > 0]):
+        segs = np.where(counts == k)[0]
+        sel = counts[ks] == k
+        m = len(segs)
+        idx = os_[sel].reshape(m, int(k))
+        code = cs[sel].reshape(m, int(k))
+        buckets.append((segs.astype(np.int64), idx.astype(np.int64),
+                        code.astype(np.int32)))
+    return buckets
 
 
 class SparseMat:
-    """One sparse matrix in (row, col, val) form + device-regular layouts."""
+    """One sparse matrix as (rows, cols, value-codebook codes)."""
 
-    def __init__(self, entries: List[Tuple[int, int, int]], num_rows: int,
-                 num_cols_hint: int):
-        self.entries = [(int(r), int(c), int(v) % L) for r, c, v in entries]
+    def __init__(self, entries, num_rows: int, num_cols_hint: int):
+        rows, cols, vals = _to_arrays(entries)
+        self.rows = rows
+        self.cols = cols
         self.num_rows = num_rows
         self.num_cols_hint = num_cols_hint
-        self._row_layout = None
-        self._col_layout = None
+        # value codebook: code 0 is always the field zero (pad value)
+        book = {0: 0}
+        codes = np.empty(len(vals), dtype=np.int32)
+        for i, v in enumerate(vals):
+            v = int(v) % L
+            code = book.get(v)
+            if code is None:
+                code = len(book)
+                book[v] = code
+            codes[i] = code
+        self.codes = codes
+        self.codebook: List[int] = list(book.keys())
+        self._codebook_mont = None
+        self._row_buckets = None
+        self._col_buckets = None
 
     @property
     def nnz(self) -> int:
-        return len(self.entries)
+        return int(len(self.rows))
 
-    # -- row-regular layout (for multiply_vec) --------------------------
+    @property
+    def entries(self):
+        """Lazy (row, col, val) tuples — for digests/small paths only."""
+        cb = self.codebook
+        return [(int(r), int(c), cb[int(k)])
+                for r, c, k in zip(self.rows, self.cols, self.codes)]
 
-    def _build_row_layout(self):
-        rows = {}
-        for r, c, v in self.entries:
-            rows.setdefault(r, []).append((c, v))
-        kmax = max((len(x) for x in rows.values()), default=1)
-        idx = np.zeros((self.num_rows, kmax), dtype=np.int32)
-        vals = [[0] * kmax for _ in range(self.num_rows)]
-        for r, lst in rows.items():
-            for k, (c, v) in enumerate(lst):
-                idx[r, k] = c
-                vals[r][k] = v
-        vals_dev = FQ.to_mont(vals)
-        self._row_layout = (jnp.asarray(idx), vals_dev)
+    def _book_mont(self):
+        if self._codebook_mont is None:
+            self._codebook_mont = FQ.to_mont(self.codebook)
+        return self._codebook_mont
+
+    # -- bucketed reductions --------------------------------------------
+
+    def _reduce_buckets(self, buckets, table_dev, out_len: int):
+        """sum_k val * table[idx] per segment, scattered into (out_len,)."""
+        from ..parallel.ops import sharded_regular_reduce
+        book = self._book_mont()
+        out = FQ.zeros((out_len,))
+        for segs, idx, code in buckets:
+            vals_dev = book[jnp.asarray(code)]
+            idx_dev = jnp.asarray(idx)
+            part = sharded_regular_reduce(vals_dev, idx_dev, table_dev,
+                                          idx.shape[0])
+            if part is None:
+                part = _regular_reduce(vals_dev, idx_dev, table_dev,
+                                       idx.shape[0])
+            out = out.at[jnp.asarray(segs)].set(part)
+        return out
 
     def multiply_vec(self, num_cols: int, z_dev: jnp.ndarray) -> jnp.ndarray:
         """-> (num_rows,) device vector; z_dev: (num_cols, 16) mont."""
-        if self._row_layout is None:
-            self._build_row_layout()
-        idx, vals = self._row_layout
-        return _regular_reduce(vals, idx, z_dev, self.num_rows)
-
-    # -- column-regular layout (for compute_eval_table_sparse) ----------
-
-    def _build_col_layout(self, num_cols: int, heavy_threshold: int = 8):
-        cols = {}
-        for r, c, v in self.entries:
-            cols.setdefault(c, []).append((r, v))
-        regular, heavy = {}, {}
-        for c, lst in cols.items():
-            (heavy if len(lst) > heavy_threshold else regular)[c] = lst
-        kmax = max((len(x) for x in regular.values()), default=1)
-        reg_cols = sorted(regular)
-        idx = np.zeros((max(len(reg_cols), 1), kmax), dtype=np.int32)
-        vals = [[0] * kmax for _ in range(max(len(reg_cols), 1))]
-        for i, c in enumerate(reg_cols):
-            for k, (r, v) in enumerate(regular[c]):
-                idx[i, k] = r
-                vals[i][k] = v
-        heavy_list = []
-        for c in sorted(heavy):
-            lst = heavy[c]
-            n = _next_pow2(len(lst))
-            ridx = np.zeros((n,), dtype=np.int32)
-            rvals = [0] * n
-            for k, (r, v) in enumerate(lst):
-                ridx[k] = r
-                rvals[k] = v
-            heavy_list.append((c, jnp.asarray(ridx), FQ.to_mont(rvals)))
-        self._col_layout = (np.asarray(reg_cols, dtype=np.int64),
-                            jnp.asarray(idx), FQ.to_mont(vals), heavy_list)
+        if self._row_buckets is None:
+            self._row_buckets = _bucket_layout(self.rows, self.cols,
+                                               self.codes, self.num_rows)
+        return self._reduce_buckets(self._row_buckets, z_dev, self.num_rows)
 
     def compute_eval_table(self, evals_rx_dev: jnp.ndarray,
                            num_cols: int) -> jnp.ndarray:
         """-> (num_cols,) device vector M^T evals_rx."""
-        if self._col_layout is None:
-            self._build_col_layout(num_cols)
-        reg_cols, idx, vals, heavy_list = self._col_layout
-        out = FQ.zeros((num_cols,))
-        if len(reg_cols):
-            contrib = _regular_reduce(vals, idx, evals_rx_dev, idx.shape[0])
-            out = out.at[reg_cols].set(contrib)
-        for c, ridx, rvals in heavy_list:
-            val = _masked_dot(rvals, evals_rx_dev[ridx])
-            out = out.at[c].set(val)
-        return out
+        if self._col_buckets is None:
+            self._col_buckets = _bucket_layout(self.cols, self.rows,
+                                               self.codes, num_cols)
+        return self._reduce_buckets(self._col_buckets, evals_rx_dev, num_cols)
 
-    # -- evaluation -----------------------------------------------------
+    # -- evaluation -------------------------------------------------------
 
-    def evaluate(self, eq_rx_dev: jnp.ndarray, eq_ry_dev: jnp.ndarray) -> int:
-        rows = np.asarray([e[0] for e in self.entries], dtype=np.int64)
-        cols = np.asarray([e[1] for e in self.entries], dtype=np.int64)
-        vals = FQ.to_mont([e[2] for e in self.entries])
-        prod = FQ.mul(FQ.mul(vals, eq_rx_dev[rows]), eq_ry_dev[cols])
-        return int(FQ.from_mont(FQ.sum_reduce(prod, axis=0)))
+    def evaluate(self, eq_rx_dev: jnp.ndarray, eq_ry_dev: jnp.ndarray,
+                 chunk: int = 1 << 20) -> int:
+        book = self._book_mont()
+        total = FQ.zeros(())
+        for lo in range(0, self.nnz, chunk):
+            hi = min(lo + chunk, self.nnz)
+            rows = jnp.asarray(self.rows[lo:hi])
+            cols = jnp.asarray(self.cols[lo:hi])
+            vals = book[jnp.asarray(self.codes[lo:hi])]
+            prod = FQ.mul(FQ.mul(vals, eq_rx_dev[rows]), eq_ry_dev[cols])
+            total = FQ.add(total, FQ.sum_reduce(prod, axis=0))
+        return int(FQ.from_mont(total))
 
 
 class R1CSInstance:
     """Padded R1CS instance (reference Instance::new semantics)."""
 
     def __init__(self, num_cons: int, num_vars: int, num_inputs: int,
-                 A: Sequence[Tuple[int, int, int]],
-                 B: Sequence[Tuple[int, int, int]],
-                 C: Sequence[Tuple[int, int, int]]):
+                 A, B, C):
         num_vars_padded = _next_pow2(max(num_vars, num_inputs + 1))
         num_cons_padded = _next_pow2(max(num_cons, 2))
 
         def shift(entries):
-            out = []
-            for r, c, v in entries:
-                assert r < num_cons and c < num_vars + 1 + num_inputs
-                if c >= num_vars:
-                    out.append((r, c + num_vars_padded - num_vars, v % L))
-                else:
-                    out.append((r, c, v % L))
+            rows, cols, vals = _to_arrays(entries)
+            assert rows.size == 0 or (rows.max() < num_cons
+                                      and cols.max() < num_vars + 1 + num_inputs)
+            delta = num_vars_padded - num_vars
+            if delta:
+                cols = np.where(cols >= num_vars, cols + delta, cols)
             # reference pads a dummy zero entry per constraint when the
             # original count was 0/1 (lib.rs:208-214)
             if num_cons in (0, 1):
-                for i in range(len(out), num_cons_padded):
-                    out.append((i, num_vars, 0))
-            return out
+                extra = np.arange(len(rows), num_cons_padded, dtype=np.int64)
+                rows = np.concatenate([rows, extra])
+                cols = np.concatenate(
+                    [cols, np.full(len(extra), num_vars, np.int64)])
+                zpad = np.zeros(len(extra), dtype=object)
+                vals = np.concatenate([vals, zpad]) if len(vals) else zpad
+            return (rows, cols, vals)
 
         self.num_cons = num_cons_padded
         self.num_vars = num_vars_padded
@@ -174,8 +213,15 @@ class R1CSInstance:
 
     # ------------------------------------------------------------------
 
-    def build_z(self, vars_ints: Sequence[int], inputs: Sequence[int]) -> jnp.ndarray:
-        """z = vars || 1 || inputs || 0-pad, length 2*num_vars (device)."""
+    def build_z(self, vars_ints, inputs: Sequence[int]) -> jnp.ndarray:
+        """z = vars || 1 || inputs || 0-pad, length 2*num_vars (device).
+        vars_ints: host int list OR a Montgomery device array (n, 16)."""
+        if isinstance(vars_ints, jnp.ndarray):
+            assert vars_ints.shape[0] == self.num_vars
+            tail = ints_to_dev([1] + list(inputs))
+            pad = FQ.zeros((2 * self.num_vars - self.num_vars - 1
+                            - len(inputs),))
+            return jnp.concatenate([vars_ints, tail, pad], axis=0)
         assert len(vars_ints) == self.num_vars
         z = list(vars_ints) + [1] + list(inputs)
         z += [0] * (2 * self.num_vars - len(z))
@@ -187,9 +233,14 @@ class R1CSInstance:
                 DensePoly(self.B.multiply_vec(ncols, z_dev)),
                 DensePoly(self.C.multiply_vec(ncols, z_dev)))
 
-    def is_sat(self, vars_ints: Sequence[int], inputs: Sequence[int]) -> bool:
-        vars_padded = list(vars_ints) + [0] * (self.num_vars - len(vars_ints))
-        z = self.build_z(vars_padded, inputs)
+    def is_sat(self, vars_ints, inputs: Sequence[int]) -> bool:
+        if isinstance(vars_ints, jnp.ndarray):
+            pad = FQ.zeros((self.num_vars - vars_ints.shape[0],))
+            z = self.build_z(jnp.concatenate([vars_ints, pad], axis=0), inputs)
+        else:
+            vars_padded = list(vars_ints) + \
+                [0] * (self.num_vars - len(vars_ints))
+            z = self.build_z(vars_padded, inputs)
         Az, Bz, Cz = self.multiply_vec(z)
         lhs = FQ.mul(Az.Z, Bz.Z)
         return bool(np.asarray(FQ.eq(lhs, Cz.Z)).all())

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..field.prime_field import FQ, L_MODULUS as L
 from ..poly.dense import DensePoly, eq_evals, factored_lens, ints_to_dev, dev_to_ints
 from ..transcript.merlin import Transcript, RandomTape
+from ..utils.errors import verify_guard
 from ..curve.rpoint import RPoint, msm_host, decompress_many
 from ..commit.pedersen import MultiCommitGens, hyrax_commit
 from ..curve.ristretto import RISTRETTO, PointE
@@ -136,6 +137,7 @@ class PolyEvalProof:
             gens.gens, transcript, tape, LZ, LZ_blind, R_vec, Zr, blind_Zr)
         return PolyEvalProof(proof), C_Zr_prime
 
+    @verify_guard(failure=False)
     def verify(self, gens: PolyCommitmentGens, transcript: Transcript,
                r: Sequence[int], C_Zr: bytes, comm: PolyCommitment) -> bool:
         transcript.append_protocol_name(PolyEvalProof.PROTOCOL)
@@ -209,7 +211,7 @@ def r1cs_prove_cp(inst: R1CSInstance, vars_ints: List[int], inputs: List[int],
     """my_R1CSProof_prove (commit_test.rs:136-334).  The CP deviation:
     the externally-combined commitment is appended and `input` is NOT."""
     transcript.append_protocol_name(R1CSProof.PROTOCOL)
-    assert len(inputs) < len(vars_ints)
+    assert len(inputs) < _alen(vars_ints)
     comm_vars.append_to_transcript(b"poly_commitment", transcript)
     return _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
                             poly_vars, comm_vars, blinds_vars)
@@ -221,35 +223,47 @@ def r1cs_prove_stock(inst: R1CSInstance, vars_ints: List[int],
     """Stock R1CSProof::prove (r1csproof.rs:161-366): appends `input`,
     commits the witness itself with the random tape."""
     transcript.append_protocol_name(R1CSProof.PROTOCOL)
-    assert len(inputs) < len(vars_ints)
+    assert len(inputs) < _alen(vars_ints)
     from ..nizk.sigma import append_scalars_vector
     append_scalars_vector(transcript, b"input", inputs)
-    poly_vars = DensePoly(ints_to_dev(vars_ints))
+    poly_vars = DensePoly(vars_ints if isinstance(vars_ints, jnp.ndarray)
+                          else ints_to_dev(vars_ints))
     comm_vars, blinds_vars = poly_commit(poly_vars, gens.gens_pc, tape)
     comm_vars.append_to_transcript(b"poly_commitment", transcript)
     return _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
                             poly_vars, comm_vars, blinds_vars)
 
 
+def _alen(vals) -> int:
+    return vals.shape[0] if isinstance(vals, jnp.ndarray) else len(vals)
+
+
 def _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
                      poly_vars, comm_vars, blinds_vars):
+    from ..utils.timer import span
 
-    num_vars = len(vars_ints)
-    z_ints = list(vars_ints) + [1] + list(inputs) + \
-        [0] * (num_vars - len(inputs) - 1)
-    z_dev = ints_to_dev(z_ints)
+    num_vars = _alen(vars_ints)
+    if isinstance(vars_ints, jnp.ndarray):
+        tail = ints_to_dev([1] + list(inputs))
+        pad = FQ.zeros((num_vars - len(inputs) - 1,))
+        z_dev = jnp.concatenate([vars_ints, tail, pad], axis=0)
+    else:
+        z_ints = list(vars_ints) + [1] + list(inputs) + \
+            [0] * (num_vars - len(inputs) - 1)
+        z_dev = ints_to_dev(z_ints)
 
     num_rounds_x = _log2(inst.num_cons)
-    num_rounds_y = _log2(len(z_ints))
+    num_rounds_y = _log2(2 * num_vars)
     tau = transcript.challenge_vector(b"challenge_tau", num_rounds_x)
 
     poly_tau = DensePoly(eq_evals(tau))
     poly_Az, poly_Bz, poly_Cz = inst.multiply_vec(z_dev)
 
-    sc_proof_phase1, rx, claims_phase1, blind_claim_postsc1 = \
-        ZKSumcheckInstanceProof.prove_cubic_with_additive_term(
-            0, 0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz,
-            gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript, tape)
+    with span("prove_sc_phase_one"):
+        sc_proof_phase1, rx, claims_phase1, blind_claim_postsc1 = \
+            ZKSumcheckInstanceProof.prove_cubic_with_additive_term(
+                0, 0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz,
+                gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript, tape)
     tau_claim, Az_claim, Bz_claim, Cz_claim = claims_phase1
 
     Az_blind = tape.random_scalar(b"Az_blind")
@@ -291,17 +305,19 @@ def _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
     evals_ABC = FQ.add(FQ.add(FQ.mul(rA_d, evals_A), FQ.mul(rB_d, evals_B)),
                        FQ.mul(rC_d, evals_C))
 
-    sc_proof_phase2, ry, claims_phase2_vals, blind_claim_postsc2 = \
-        ZKSumcheckInstanceProof.prove_quad(
-            claim_phase2, blind_claim_phase2, num_rounds_y,
-            DensePoly(z_dev), DensePoly(evals_ABC),
-            gens.gens_sc.gens_1, gens.gens_sc.gens_3, transcript, tape)
+    with span("prove_sc_phase_two"):
+        sc_proof_phase2, ry, claims_phase2_vals, blind_claim_postsc2 = \
+            ZKSumcheckInstanceProof.prove_quad(
+                claim_phase2, blind_claim_phase2, num_rounds_y,
+                DensePoly(z_dev), DensePoly(evals_ABC),
+                gens.gens_sc.gens_1, gens.gens_sc.gens_3, transcript, tape)
 
     eval_vars_at_ry = poly_vars.evaluate(ry[1:])
     blind_eval = tape.random_scalar(b"blind_eval")
-    proof_eval_vars_at_ry, comm_vars_at_ry = PolyEvalProof.prove(
-        poly_vars, blinds_vars, ry[1:], eval_vars_at_ry, blind_eval,
-        gens.gens_pc, transcript, tape)
+    with span("polyeval"):
+        proof_eval_vars_at_ry, comm_vars_at_ry = PolyEvalProof.prove(
+            poly_vars, blinds_vars, ry[1:], eval_vars_at_ry, blind_eval,
+            gens.gens_pc, transcript, tape)
 
     blind_eval_Z_at_ry = (1 - ry[0]) * blind_eval % L
     blind_expected_claim_postsc2 = claims_phase2_vals[1] * blind_eval_Z_at_ry % L
@@ -318,6 +334,7 @@ def _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
         comm_vars_at_ry, proof_eval_vars_at_ry, proof_eq_sc_phase2), rx, ry)
 
 
+@verify_guard(failure=None)
 def r1cs_verify_cp(proof: R1CSProof, num_vars: int, num_cons: int,
                    inputs: List[int], evals: Tuple[int, int, int],
                    transcript: Transcript, gens: R1CSGens,
@@ -334,6 +351,7 @@ def r1cs_verify_cp(proof: R1CSProof, num_vars: int, num_cons: int,
                              transcript, gens, combined)
 
 
+@verify_guard(failure=None)
 def r1cs_verify_stock(proof: R1CSProof, num_vars: int, num_cons: int,
                       inputs: List[int], evals: Tuple[int, int, int],
                       transcript: Transcript, gens: R1CSGens):

@@ -21,6 +21,7 @@ from ..field.prime_field import FQ, L_MODULUS as L
 from ..poly.dense import eq_evals, ints_to_dev
 from ..sumcheck.sumcheck import UniPoly
 from ..transcript.merlin import Transcript
+from ..utils.errors import verify_guard
 
 
 @jax.jit
@@ -199,6 +200,7 @@ class ProductCircuitEvalProofBatched:
         return (ProductCircuitEvalProofBatched(proof_layers, claims_dotp_final),
                 rand)
 
+    @verify_guard(failure=None)
     def verify(self, claims_prod_vec: List[int], claims_dotp_vec: List[int],
                length: int, transcript: Transcript):
         num_layers = length.bit_length() - 1

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..field.prime_field import FQ, L_MODULUS as L
 from ..poly.dense import DensePoly, eq_evals, eq_eval_single, ints_to_dev, dev_to_ints
 from ..transcript.merlin import Transcript, RandomTape
+from ..utils.errors import verify_guard
 from ..snark.r1csproof import PolyCommitmentGens, PolyCommitment, PolyEvalProof, poly_commit
 from ..nizk.sigma import append_scalars_vector, commit1
 from .product_tree import (
@@ -78,45 +79,46 @@ class AddrTimestamps:
 
 class MultiSparseMatPolynomialAsDense:
     def __init__(self, sparse_mats, num_vars_x: int, num_vars_y: int):
-        """sparse_mats: list of SparseMat-like with .entries (row, col, val)."""
+        """sparse_mats: list of SparseMat (array-native rows/cols/codes)."""
+        from ..poly.dense import small_ints_to_dev
         self.batch_size = len(sparse_mats)
         self.num_vars_x = num_vars_x
         self.num_vars_y = num_vars_y
-        N = max(_next_pow2(len(m.entries)) for m in sparse_mats)
+        N = max(_next_pow2(m.nnz) for m in sparse_mats)
         self.N = N
 
-        ops_row, ops_col, vals = [], [], []
+        ops_row, ops_col, val_dev = [], [], []
         for m in sparse_mats:
+            nnz = m.nnz
             row = np.zeros(N, dtype=np.int64)
             col = np.zeros(N, dtype=np.int64)
-            val = [0] * N
-            for i, (r, c, v) in enumerate(m.entries):
-                row[i] = r
-                col[i] = c
-                val[i] = v % L
+            codes = np.zeros(N, dtype=np.int32)   # code 0 == field zero
+            row[:nnz] = m.rows
+            col[:nnz] = m.cols
+            codes[:nnz] = m.codes
             ops_row.append(row)
             ops_col.append(col)
-            vals.append(val)
+            val_dev.append(m._book_mont()[jnp.asarray(codes)])
 
         self.num_mem_cells = 1 << max(num_vars_x, num_vars_y)
         self.row = AddrTimestamps(self.num_mem_cells, N, ops_row)
         self.col = AddrTimestamps(self.num_mem_cells, N, ops_col)
-        self.val_dev = [ints_to_dev(v) for v in vals]
+        self.val_dev = val_dev
 
         # comb_ops = merge(row.addr x3, row.read_ts x3, col.addr x3,
         #                  col.read_ts x3, val x3), zero-padded to pow2
-        parts = ([ints_to_dev([int(x) for x in a]) for a in self.row.ops_addr]
-                 + [ints_to_dev([int(x) for x in t]) for t in self.row.read_ts]
-                 + [ints_to_dev([int(x) for x in a]) for a in self.col.ops_addr]
-                 + [ints_to_dev([int(x) for x in t]) for t in self.col.read_ts]
+        parts = ([small_ints_to_dev(a) for a in self.row.ops_addr]
+                 + [small_ints_to_dev(t) for t in self.row.read_ts]
+                 + [small_ints_to_dev(a) for a in self.col.ops_addr]
+                 + [small_ints_to_dev(t) for t in self.col.read_ts]
                  + list(self.val_dev))
         total = sum(p.shape[0] for p in parts)
         pad = _next_pow2(total) - total
         chunks = parts + ([FQ.zeros((pad,))] if pad else [])
         self.comb_ops = DensePoly(jnp.concatenate(chunks, axis=0))
         mem = jnp.concatenate(
-            [ints_to_dev([int(x) for x in self.row.audit_ts]),
-             ints_to_dev([int(x) for x in self.col.audit_ts])], axis=0)
+            [small_ints_to_dev(self.row.audit_ts),
+             small_ints_to_dev(self.col.audit_ts)], axis=0)
         self.comb_mem = DensePoly(mem)
 
 
@@ -232,6 +234,7 @@ class DerefsEvalProof:
         return DerefsEvalProof(DerefsEvalProof.prove_single(
             derefs.comb, r, evals, gens, transcript, tape))
 
+    @verify_guard(failure=False)
     def verify(self, r: Sequence[int], eval_row: List[int],
                eval_col: List[int], gens: PolyCommitmentGens,
                comm: PolyCommitment, transcript: Transcript) -> bool:
@@ -402,6 +405,7 @@ class HashLayerProof:
             return False
         return True
 
+    @verify_guard(failure=False)
     def verify(self, rand, claims_row, claims_col, claims_dotp,
                comm: SparseMatPolyCommitment, gens: SparseMatPolyCommitmentGens,
                comm_derefs: PolyCommitment, rx, ry, r_hash, r_multiset,
@@ -573,6 +577,7 @@ class ProductLayerProof:
             (eval_dotp_left_vec, eval_dotp_right_vec),
             proof_mem, proof_ops), rand_mem, rand_ops)
 
+    @verify_guard(failure=None)
     def verify(self, num_ops: int, num_cells: int, evals: List[int],
                transcript: Transcript):
         transcript.append_protocol_name(ProductLayerProof.PROTOCOL)
@@ -651,6 +656,7 @@ class PolyEvalNetworkProof:
                                           gens, transcript, tape)
         return PolyEvalNetworkProof(proof_prod, proof_hash)
 
+    @verify_guard(failure=False)
     def verify(self, comm, comm_derefs, evals, gens, rx, ry, r_mem_check,
                nz: int, transcript: Transcript) -> bool:
         transcript.append_protocol_name(PolyEvalNetworkProof.PROTOCOL)
@@ -709,6 +715,7 @@ class SparseMatPolyEvalProof:
             list(evals), gens, transcript, tape)
         return SparseMatPolyEvalProof(comm_derefs, net_proof)
 
+    @verify_guard(failure=False)
     def verify(self, comm: SparseMatPolyCommitment, rx, ry, evals,
                gens: SparseMatPolyCommitmentGens,
                transcript: Transcript) -> bool:
@@ -740,6 +747,7 @@ class R1CSEvalProof:
         return R1CSEvalProof(SparseMatPolyEvalProof.prove(
             dense, rx, ry, list(evals), gens, transcript, tape))
 
+    @verify_guard(failure=False)
     def verify(self, comm, rx, ry, evals, gens, transcript) -> bool:
         return self.proof.verify(comm, rx, ry, list(evals), gens, transcript)
 

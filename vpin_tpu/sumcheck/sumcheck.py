@@ -19,6 +19,7 @@ import numpy as np
 from ..field.prime_field import FQ, L_MODULUS as L
 from ..poly.dense import DensePoly
 from ..transcript.merlin import Transcript, RandomTape
+from ..utils.errors import verify_guard
 from ..curve.rpoint import RPoint, msm_host
 from ..nizk.sigma import (
     DotProductProof, append_scalars_vector, commit1, commitN,
@@ -93,47 +94,82 @@ class UniPoly:
 # device round kernels
 # ----------------------------------------------------------------------
 
-@jax.jit
-def _round_evals_quad(A, B):
-    n = A.shape[0] // 2
-    Al, Ah = A[:n], A[n:]
-    Bl, Bh = B[:n], B[n:]
+def _quad_partials(los, his):
+    """Partial sums of the quad combinator over one table shard."""
+    Al, Bl = los
+    Ah, Bh = his
     e0 = FQ.sum_reduce(FQ.mul(Al, Bl))
     A2 = FQ.sub(FQ.add(Ah, Ah), Al)
     B2 = FQ.sub(FQ.add(Bh, Bh), Bl)
     e2 = FQ.sum_reduce(FQ.mul(A2, B2))
-    return e0, e2
+    return (e0, e2)
 
 
-@jax.jit
-def _round_evals_cubic_additive(A, B, C, D):
+def _cubic_additive_partials(los, his):
     """comb(a,b,c,d) = a*(b*c - d) — phase-one outer combinator
     (reference r1csproof.rs:104-110)."""
-    n = A.shape[0] // 2
-
     def comb(a, b, c, d):
         return FQ.mul(a, FQ.sub(FQ.mul(b, c), d))
 
-    halves = [(t[:n], t[n:]) for t in (A, B, C, D)]
-    e0 = FQ.sum_reduce(comb(*(lo for lo, _ in halves)))
-    b2 = [FQ.sub(FQ.add(hi, hi), lo) for lo, hi in halves]
+    e0 = FQ.sum_reduce(comb(*los))
+    b2 = [FQ.sub(FQ.add(hi, hi), lo) for lo, hi in zip(los, his)]
     e2 = FQ.sum_reduce(comb(*b2))
-    b3 = [FQ.add(v, FQ.sub(hi, lo)) for v, (lo, hi) in zip(b2, halves)]
+    b3 = [FQ.add(v, FQ.sub(hi, lo)) for v, lo, hi in zip(b2, los, his)]
     e3 = FQ.sum_reduce(comb(*b3))
-    return e0, e2, e3
+    return (e0, e2, e3)
 
 
-@jax.jit
-def _round_evals_cubic(A, B, C):
+def _cubic_partials(los, his):
     """comb(a,b,c) = a*b*c (SPARK product-layer combinator)."""
-    n = A.shape[0] // 2
-    halves = [(t[:n], t[n:]) for t in (A, B, C)]
-    e0 = FQ.sum_reduce(FQ.mul(FQ.mul(halves[0][0], halves[1][0]), halves[2][0]))
-    b2 = [FQ.sub(FQ.add(hi, hi), lo) for lo, hi in halves]
+    e0 = FQ.sum_reduce(FQ.mul(FQ.mul(los[0], los[1]), los[2]))
+    b2 = [FQ.sub(FQ.add(hi, hi), lo) for lo, hi in zip(los, his)]
     e2 = FQ.sum_reduce(FQ.mul(FQ.mul(b2[0], b2[1]), b2[2]))
-    b3 = [FQ.add(v, FQ.sub(hi, lo)) for v, (lo, hi) in zip(b2, halves)]
+    b3 = [FQ.add(v, FQ.sub(hi, lo)) for v, lo, hi in zip(b2, los, his)]
     e3 = FQ.sum_reduce(FQ.mul(FQ.mul(b3[0], b3[1]), b3[2]))
-    return e0, e2, e3
+    return (e0, e2, e3)
+
+
+def _jit_rounds(partial_fn, n_tables):
+    def run(*tables):
+        n = tables[0].shape[0] // 2
+        los = tuple(t[:n] for t in tables)
+        his = tuple(t[n:] for t in tables)
+        return partial_fn(los, his)
+    return jax.jit(run)
+
+
+_ROUND_JIT = {
+    "quad": _jit_rounds(_quad_partials, 2),
+    "cubic_additive": _jit_rounds(_cubic_additive_partials, 4),
+    "cubic": _jit_rounds(_cubic_partials, 3),
+}
+_ROUND_PARTIALS = {
+    "quad": _quad_partials,
+    "cubic_additive": _cubic_additive_partials,
+    "cubic": _cubic_partials,
+}
+
+
+def _round_evals(kind: str, *tables):
+    """Round eval sums: sharded over the active mesh when one is set
+    (parallel/ops.py), single-device jit otherwise — bit-identical."""
+    from ..parallel.ops import sharded_round_evals
+    out = sharded_round_evals(_ROUND_PARTIALS[kind], tables)
+    if out is None:
+        out = _ROUND_JIT[kind](*tables)
+    return out
+
+
+def _round_evals_quad(A, B):
+    return _round_evals("quad", A, B)
+
+
+def _round_evals_cubic_additive(A, B, C, D):
+    return _round_evals("cubic_additive", A, B, C, D)
+
+
+def _round_evals_cubic(A, B, C):
+    return _round_evals("cubic", A, B, C)
 
 
 def _to_int(x) -> int:
@@ -148,6 +184,7 @@ def _to_int(x) -> int:
 class SumcheckInstanceProof:
     compressed_polys: List[List[int]]
 
+    @verify_guard(failure=None)
     def verify(self, claim: int, num_rounds: int, degree_bound: int,
                transcript: Transcript) -> Tuple[int, List[int]]:
         e = claim % L
@@ -195,6 +232,7 @@ class ZKSumcheckInstanceProof:
     comm_evals: List[bytes]
     proofs: List[DotProductProof]
 
+    @verify_guard(failure=None)
     def verify(self, comm_claim: bytes, num_rounds: int, degree_bound: int,
                gens_1, gens_n, transcript: Transcript):
         assert gens_n.n == degree_bound + 1

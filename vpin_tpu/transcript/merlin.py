@@ -22,8 +22,11 @@ def _u32le(n: int) -> bytes:
 
 
 class Transcript:
-    def __init__(self, label: bytes):
+    def __init__(self, label: bytes, log: Optional[list] = None):
         self.strobe = Strobe128(b"Merlin v1.0")
+        #: optional challenge-stream recorder: list of (label, hex bytes)
+        #: appended on every challenge (crosscheck golden vectors)
+        self.log = log
         self.append_message(b"dom-sep", label)
 
     def append_message(self, label: bytes, message: bytes) -> None:
@@ -34,7 +37,10 @@ class Transcript:
     def challenge_bytes(self, label: bytes, n: int) -> bytes:
         self.strobe.meta_ad(label, False)
         self.strobe.meta_ad(_u32le(n), True)
-        return self.strobe.prf(n, False)
+        out = self.strobe.prf(n, False)
+        if self.log is not None:
+            self.log.append((label.decode("latin1"), out.hex()))
+        return out
 
     # -- Spartan ProofTranscript extension (transcript.rs:12-60) --------
 

@@ -199,3 +199,104 @@ def serialize_snark(proof) -> bytes:
     if proof.r1cs_eval_proof is not None:
         ser_sparse_eval_proof(w, proof.r1cs_eval_proof.proof)
     return w.bytes()
+
+
+def serialize_nizk(proof) -> bytes:
+    """NIZK -> bincode bytes (lib.rs NIZK struct: sat proof + (rx, ry))."""
+    w = Writer()
+    ser_r1cs_sat_proof(w, proof.r1cs_sat_proof)
+    w.vec(proof.r[0], lambda v: w.scalar(v))
+    w.vec(proof.r[1], lambda v: w.scalar(v))
+    return w.bytes()
+
+
+# ----------------------------------------------------------------------
+# deserializers (mirror the ser_* field order exactly)
+# ----------------------------------------------------------------------
+
+def des_knowledge(r: Reader):
+    from ..nizk.sigma import KnowledgeProof
+    return KnowledgeProof(r.point(), r.scalar(), r.scalar())
+
+
+def des_equality(r: Reader):
+    from ..nizk.sigma import EqualityProof
+    return EqualityProof(r.point(), r.scalar())
+
+
+def des_product(r: Reader):
+    from ..nizk.sigma import ProductProof
+    alpha, beta, delta = r.point(), r.point(), r.point()
+    z = tuple(r.scalar() for _ in range(5))
+    return ProductProof(alpha, beta, delta, z)
+
+
+def des_dotproduct(r: Reader):
+    from ..nizk.sigma import DotProductProof
+    delta, beta = r.point(), r.point()
+    z = r.vec(r.scalar)
+    return DotProductProof(delta, beta, z, r.scalar(), r.scalar())
+
+
+def des_dotproduct_log(r: Reader):
+    from ..nizk.sigma import BulletReductionProof, DotProductProofLog
+    L_vec = r.vec(r.point)
+    R_vec = r.vec(r.point)
+    return DotProductProofLog(BulletReductionProof(L_vec, R_vec),
+                              r.point(), r.point(), r.scalar(), r.scalar())
+
+
+def des_polyeval(r: Reader):
+    from ..snark.r1csproof import PolyEvalProof
+    return PolyEvalProof(des_dotproduct_log(r))
+
+
+def des_poly_commitment(r: Reader):
+    from ..snark.r1csproof import PolyCommitment
+    return PolyCommitment(r.vec(r.point))
+
+
+def des_zk_sumcheck(r: Reader):
+    from ..sumcheck.sumcheck import ZKSumcheckInstanceProof
+    comm_polys = r.vec(r.point)
+    comm_evals = r.vec(r.point)
+    proofs = r.vec(lambda: des_dotproduct(r))
+    return ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs)
+
+
+def des_r1cs_sat_proof(r: Reader):
+    from ..snark.r1csproof import R1CSProof
+    comm_vars = des_poly_commitment(r)
+    sc1 = des_zk_sumcheck(r)
+    claims = tuple(r.point() for _ in range(4))
+    pok = (des_knowledge(r), des_product(r))
+    eq1 = des_equality(r)
+    sc2 = des_zk_sumcheck(r)
+    comm_vars_at_ry = r.point()
+    pe = des_polyeval(r)
+    eq2 = des_equality(r)
+    return R1CSProof(comm_vars, sc1, claims, pok, eq1, sc2,
+                     comm_vars_at_ry, pe, eq2)
+
+
+def deserialize_snark(data: bytes):
+    """bincode bytes -> CPSnarkProof.  The eval-proof tail, when present,
+    is not yet reconstructed (transparent-mode proofs roundtrip fully)."""
+    from ..snark.cp_snark import CPSnarkProof
+    r = Reader(data)
+    sat = des_r1cs_sat_proof(r)
+    evals = tuple(r.scalar() for _ in range(3))
+    if r.off != len(data):
+        raise ValueError("trailing eval-proof bytes; transparent proofs only")
+    return CPSnarkProof(sat, evals, None)
+
+
+def deserialize_nizk(data: bytes):
+    from ..snark.nizk_api import NIZK
+    r = Reader(data)
+    sat = des_r1cs_sat_proof(r)
+    rx = r.vec(r.scalar)
+    ry = r.vec(r.scalar)
+    if r.off != len(data):
+        raise ValueError("trailing bytes in NIZK proof")
+    return NIZK(sat, (rx, ry))
