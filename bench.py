@@ -2,23 +2,23 @@
 
 Reference E3 (single conv layer, filter 3, input 32x32) runs inference
 AND `cargo run -- 3_32` proof generation; its envelope is "2-60 minutes"
-on a 48-core Xeon (reference README.md:136-138).  The primary metric here
-is the same end-to-end path — encrypt, homomorphic conv with rLC witness
-recording, CP-SNARK prove (point-add + point-mult gadgets, full SPARK
-eval proof) and verify — against the envelope FLOOR (120 s), i.e. the
-most conservative possible baseline.
+on a 48-core Xeon (reference README.md:136-138).  The primary metric is
+the same end-to-end path — encrypt, homomorphic conv with rLC witness
+recording, CP-SNARK prove (point-add + point-mult gadgets) and verify —
+against the envelope FLOOR (120 s), the most conservative baseline.
 
-Also reported:
-  * warm inference-only and prove/verify split timings,
-  * proof size in real bincode bytes,
-  * a 4096-point MSM microbenchmark (windowed-table vs naive ladder),
-  * a synthetic 2^16 R1CS stock-SNARK prove/verify (Spartan profiler
-    comparison point; reference numbers at 2^20: prove 39.13 s,
-    verify 103 ms on 1 CPU core, Spartan/README.md:337-389).
+Phases are time-boxed against VPIN_BENCH_BUDGET_S (default 2100 s of
+wall clock): whatever completes is reported, with "partial": true when
+a phase had to be skipped.  Extra knobs:
+  VPIN_BENCH_PROVE=0   skip proving
+  VPIN_BENCH_MSM=0     skip the 4096-point MSM microbenchmark
+  VPIN_BENCH_SYNTH=k   also run a synthetic 2^k stock SNARK (default off)
 
 Prints ONE JSON line.
 """
 
+import contextlib
+import io
 import json
 import os
 import random
@@ -27,11 +27,16 @@ import time
 
 import numpy as np
 
+T0 = time.time()
+BUDGET = float(os.environ.get("VPIN_BENCH_BUDGET_S", "2100"))
 
-def _time(fn, *args, **kw):
-    t0 = time.time()
-    out = fn(*args, **kw)
-    return out, time.time() - t0
+
+def remaining() -> float:
+    return BUDGET - (time.time() - T0)
+
+
+def log(msg):
+    print(f"[bench +{time.time()-T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -39,76 +44,102 @@ def main():
 
     from vpin_tpu.nn.elgamal import KeyPair
     from vpin_tpu.nn.models import run_conv_workload
-    from vpin_tpu.runner.proof_runner import prove_trace
+    from vpin_tpu.runner.proof_runner import prove_point_add, prove_point_mult
 
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     key = KeyPair.generate(random.Random(0))
     rng = np.random.RandomState(0)
     img = rng.uniform(0.0, 1.0, (size, size)).astype(np.float32)
 
+    out = {"partial": False}
+
     # --- inference (cold pays XLA compilation, warm is steady-state) ---
-    res, cold_inf = _time(run_conv_workload, img, 3, key, random.Random(1))
-    res, warm_inf = _time(run_conv_workload, img, 3, key, random.Random(2))
+    log("inference cold")
+    t = time.time()
+    res = run_conv_workload(img, 3, key, random.Random(1))
+    cold_inf = time.time() - t
+    log("inference warm")
+    t = time.time()
+    res = run_conv_workload(img, 3, key, random.Random(2))
+    warm_inf = time.time() - t
+    e2e = warm_inf
 
     # --- proof generation + verification over the recorded witness ----
-    out = {}
     if os.environ.get("VPIN_BENCH_PROVE", "1") != "0":
-        import io
-        import contextlib
-        buf = io.StringIO()
-        t0 = time.time()
-        with contextlib.redirect_stdout(buf):
-            total_size, gen_ms, ver_ms = prove_trace(res.trace, tape_seed=3)
-        prove_wall = time.time() - t0
-        out.update({
-            "prove_s": round(gen_ms / 1000.0, 3),
-            "verify_s": round(ver_ms / 1000.0, 3),
-            "proof_bytes": int(total_size),
-            "prove_wall_s": round(prove_wall, 3),
-        })
-        e2e = warm_inf + prove_wall
-    else:
-        e2e = warm_inf
+        fin = res.trace.finalize()
+        add_args = ([int(v) for v in fin["add_px"]],
+                    [int(v) for v in fin["add_py"]],
+                    [int(v) for v in fin["add_rx"]],
+                    [int(v) for v in fin["add_ry"]],
+                    [1 if i else 0 for i in fin["add_r_inf"]])
+        log(f"prove point-add ({len(add_args[0])} adds)")
+        t = time.time()
+        with contextlib.redirect_stdout(io.StringIO()):
+            st_add = prove_point_add(*add_args, tape_seed=3)
+        out["prove_add_s"] = round(time.time() - t, 3)
+        out["proof_add_bytes"] = st_add.size_bytes
+        e2e += time.time() - t
+
+        if remaining() > 600:
+            log(f"prove point-mult ({len(fin['mult_scalars'])} mults)")
+            t = time.time()
+            with contextlib.redirect_stdout(io.StringIO()):
+                st_mult = prove_point_mult(
+                    [int(w) for w in fin["mult_scalars"]],
+                    [int(v) for v in fin["mult_px"]],
+                    [int(v) for v in fin["mult_py"]], tape_seed=3)
+            out["prove_mult_s"] = round(time.time() - t, 3)
+            out["proof_mult_bytes"] = st_mult.size_bytes
+            out["verify_s"] = round((st_add.ver_ms + st_mult.ver_ms) / 1000, 3)
+            e2e += time.time() - t
+        else:
+            out["partial"] = True
+            log("skipping point-mult proof (budget)")
 
     # --- MSM microbenchmark: windowed table vs naive ladder ------------
-    if os.environ.get("VPIN_BENCH_MSM", "1") != "0":
+    if os.environ.get("VPIN_BENCH_MSM", "1") != "0" and remaining() > 300:
         import jax.numpy as jnp
         from vpin_tpu.field.prime_field import L_MODULUS as L
         from vpin_tpu.curve.ristretto import RISTRETTO as R
         from vpin_tpu.curve.weierstrass import scalars_to_bits
-        from vpin_tpu.curve.msm import host_digits, msm_oneshot
         from vpin_tpu.commit.pedersen import MultiCommitGens, commit_vec_ints
 
+        log("msm microbenchmark")
         n = 4096
         mrng = random.Random(9)
         scalars = [mrng.randrange(L) for _ in range(n)]
         gens = MultiCommitGens.new(n, b"bench_msm")
 
-        # fixed-base table path (gens table cached after first call)
-        _ = commit_vec_ints(scalars, 0, gens)
-        pt, t_table = _time(lambda: jax.block_until_ready(
-            commit_vec_ints(scalars, 0, gens).x))
+        _ = jax.block_until_ready(commit_vec_ints(scalars, 0, gens).x)
+        t = time.time()
+        _ = jax.block_until_ready(commit_vec_ints(scalars, 0, gens).x)
+        t_table = time.time() - t
 
-        # naive 253-round ladder (the round-1 implementation)
         bits = scalars_to_bits(scalars, 253)
-        _ = R.psum_points(R.pscalar_mul_bits(gens.G, bits), axis=0)
-        lad, t_ladder = _time(lambda: jax.block_until_ready(
-            R.psum_points(R.pscalar_mul_bits(gens.G, bits), axis=0).x))
+        _ = jax.block_until_ready(
+            R.psum_points(R.pscalar_mul_bits(gens.G, bits), axis=0).x)
+        t = time.time()
+        _ = jax.block_until_ready(
+            R.psum_points(R.pscalar_mul_bits(gens.G, bits), axis=0).x)
+        t_ladder = time.time() - t
         out.update({
             "msm4096_table_ms": round(t_table * 1000, 1),
             "msm4096_ladder_ms": round(t_ladder * 1000, 1),
-            "msm_speedup": round(t_ladder / t_table, 2),
+            "msm_speedup": round(t_ladder / max(t_table, 1e-9), 2),
         })
+    elif os.environ.get("VPIN_BENCH_MSM", "1") != "0":
+        out["partial"] = True
 
-    # --- synthetic stock SNARK (Spartan profiler point) ----------------
-    sc = int(os.environ.get("VPIN_BENCH_SYNTH", "16"))
-    if sc > 0:
+    # --- optional synthetic stock SNARK (Spartan profiler point) -------
+    sc = int(os.environ.get("VPIN_BENCH_SYNTH", "0"))
+    if sc > 0 and remaining() > 300:
         from vpin_tpu.snark import snark_prove_synthetic
-        t0 = time.time()
+        log(f"synthetic 2^{sc} stock SNARK")
+        t = time.time()
         proof, ok, psize = snark_prove_synthetic(1 << sc, 1 << sc, 10,
                                                  seed=1, tape_seed=5)
         out.update({
-            f"synthetic_2^{sc}_snark_s": round(time.time() - t0, 3),
+            f"synthetic_2^{sc}_snark_s": round(time.time() - t, 3),
             f"synthetic_2^{sc}_proof_bytes": int(psize),
             f"synthetic_2^{sc}_verified": bool(ok),
         })

@@ -90,8 +90,15 @@ def test_systematic_tamper_rejection(golden, fixture):
                            cpc, cic)
 
     n = len(blob)
-    offsets = sorted({1, 9, n // 4, n // 2, 3 * n // 4, n - 2,
-                      n // 3, 2 * n // 3})
+    # the leading comm_vars block is NOT read by CP verification (the
+    # verifier recombines comm_para+comm_input instead — reference
+    # my_lib_verify, commit_test.rs:355-361), so mutations there are
+    # legitimately accepted; sample offsets beyond it.
+    proof0 = deserialize_snark(blob)
+    skip = 8 + 32 * len(proof0.r1cs_sat_proof.comm_vars.C)
+    offsets = sorted({skip + 1, skip + 9, n // 2, 3 * n // 4, n - 2,
+                      (skip + n) // 2, 2 * n // 3})
+    offsets = [o for o in offsets if skip <= o < n]
     rejected = 0
     for off in offsets:
         mutated = bytearray(blob)

@@ -8,6 +8,7 @@ ints mod l, group ops run through the batched device kernels via RPoint.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
@@ -16,6 +17,9 @@ from ..curve.rpoint import RPoint, msm_host, compress_many, decompress_many
 from ..transcript.merlin import Transcript, RandomTape
 from ..utils.errors import verify_guard
 from ..commit.pedersen import MultiCommitGens, commit_scalar, commit_vec_ints
+from ..batch_verify import (
+    VerifyAccumulator, as_terms, neg_terms, scale_terms,
+)
 
 
 def commit1(x: int, blind: int, gens: MultiCommitGens) -> RPoint:
@@ -68,14 +72,18 @@ class KnowledgeProof:
         return KnowledgeProof(alpha, z1, z2), C
 
     @verify_guard(failure=False)
-    def verify(self, gens_1, transcript, C: bytes) -> bool:
+    def verify(self, gens_1, transcript, C: bytes, acc=None) -> bool:
+        local = acc is None
+        if local:
+            acc = VerifyAccumulator()
         transcript.append_protocol_name(KnowledgeProof.PROTOCOL)
         transcript.append_point(b"C", C)
         transcript.append_point(b"alpha", self.alpha)
         c = transcript.challenge_scalar(b"c")
-        lhs = commit1(self.z1, self.z2, gens_1)
-        rhs = RPoint.decompress(C).mul(c) + RPoint.decompress(self.alpha)
-        return lhs.compress() == rhs.compress()
+        # z1*G + z2*h == c*C + alpha
+        acc.add([(self.z1 % L, (gens_1, 0)), (self.z2 % L, (gens_1, -1)),
+                 (L - c, bytes(C)), (L - 1, self.alpha)])
+        return acc.check() if local else True
 
 
 # ----------------------------------------------------------------------
@@ -104,16 +112,20 @@ class EqualityProof:
         return EqualityProof(alpha, z), C1, C2
 
     @verify_guard(failure=False)
-    def verify(self, gens_1, transcript, C1: bytes, C2: bytes) -> bool:
+    def verify(self, gens_1, transcript, C1: bytes, C2: bytes,
+               acc=None) -> bool:
+        local = acc is None
+        if local:
+            acc = VerifyAccumulator()
         transcript.append_protocol_name(EqualityProof.PROTOCOL)
         transcript.append_point(b"C1", C1)
         transcript.append_point(b"C2", C2)
         transcript.append_point(b"alpha", self.alpha)
         c = transcript.challenge_scalar(b"c")
-        Cdiff = RPoint.decompress(C1) - RPoint.decompress(C2)
-        rhs = Cdiff.mul(c) + RPoint.decompress(self.alpha)
-        lhs = RPoint(gens_1.h).mul(self.z)
-        return lhs.compress() == rhs.compress()
+        # z*h == c*(C1 - C2) + alpha
+        acc.add([(self.z % L, (gens_1, -1)), (L - c, bytes(C1)),
+                 (c % L, bytes(C2)), (L - 1, self.alpha)])
+        return acc.check() if local else True
 
 
 # ----------------------------------------------------------------------
@@ -161,7 +173,11 @@ class ProductProof:
         return ProductProof(alpha, beta, delta, (z1, z2, z3, z4, z5)), X, Y, Z
 
     @verify_guard(failure=False)
-    def verify(self, gens_1, transcript, X: bytes, Y: bytes, Z: bytes) -> bool:
+    def verify(self, gens_1, transcript, X: bytes, Y: bytes, Z: bytes,
+               acc=None) -> bool:
+        local = acc is None
+        if local:
+            acc = VerifyAccumulator()
         transcript.append_protocol_name(ProductProof.PROTOCOL)
         transcript.append_point(b"X", X)
         transcript.append_point(b"Y", Y)
@@ -171,19 +187,14 @@ class ProductProof:
         transcript.append_point(b"delta", self.delta)
         z1, z2, z3, z4, z5 = self.z
         c = transcript.challenge_scalar(b"c")
-
-        def check(P: bytes, C: bytes, za: int, zb: int, gen_pt=None) -> bool:
-            lhs = (RPoint.decompress(P) + RPoint.decompress(C).mul(c)).compress()
-            if gen_pt is None:
-                rhs = commit1(za, zb, gens_1).compress()
-            else:
-                rhs = (gen_pt.mul(za) + RPoint(gens_1.h).mul(zb)).compress()
-            return lhs == rhs
-
-        return (check(self.alpha, X, z1, z2)
-                and check(self.beta, Y, z3, z4)
-                and check(self.delta, Z, z3, z5,
-                          gen_pt=RPoint.decompress(X)))
+        # P + c*C == za*Gx + zb*h, for (alpha, X), (beta, Y), (delta, Z;X)
+        acc.add([(1, self.alpha), (c % L, bytes(X)),
+                 (L - z1 % L, (gens_1, 0)), (L - z2 % L, (gens_1, -1))])
+        acc.add([(1, self.beta), (c % L, bytes(Y)),
+                 (L - z3 % L, (gens_1, 0)), (L - z4 % L, (gens_1, -1))])
+        acc.add([(1, self.delta), (c % L, bytes(Z)),
+                 (L - z3 % L, bytes(X)), (L - z5 % L, (gens_1, -1))])
+        return acc.check() if local else True
 
 
 # ----------------------------------------------------------------------
@@ -231,8 +242,11 @@ class DotProductProof:
 
     @verify_guard(failure=False)
     def verify(self, gens_1, gens_n, transcript, a: Sequence[int],
-               Cx: bytes, Cy: bytes) -> bool:
+               Cx: bytes, Cy: bytes, acc=None) -> bool:
         assert gens_n.n == len(a) and gens_1.n == 1
+        local = acc is None
+        if local:
+            acc = VerifyAccumulator()
         transcript.append_protocol_name(DotProductProof.PROTOCOL)
         transcript.append_point(b"Cx", Cx)
         transcript.append_point(b"Cy", Cy)
@@ -241,12 +255,16 @@ class DotProductProof:
         transcript.append_point(b"beta", self.beta)
         c = transcript.challenge_scalar(b"c")
 
-        lhs1 = RPoint.decompress(Cx).mul(c) + RPoint.decompress(self.delta)
-        rhs1 = commitN(self.z, self.z_delta, gens_n)
-        ok = lhs1.compress() == rhs1.compress()
-        lhs2 = RPoint.decompress(Cy).mul(c) + RPoint.decompress(self.beta)
-        rhs2 = commit1(dot_ints(self.z, a), self.z_beta, gens_1)
-        return ok and lhs2.compress() == rhs2.compress()
+        # c*Cx + delta == <z, G> + z_delta*h
+        eq1 = [(c % L, bytes(Cx)), (1, self.delta)]
+        eq1 += [((L - z) % L, (gens_n, i)) for i, z in enumerate(self.z)]
+        eq1.append(((L - self.z_delta) % L, (gens_n, -1)))
+        acc.add(eq1)
+        # c*Cy + beta == <z, a>*G1 + z_beta*h
+        acc.add([(c % L, bytes(Cy)), (1, self.beta),
+                 ((L - dot_ints(self.z, a)) % L, (gens_1, 0)),
+                 ((L - self.z_beta) % L, (gens_1, -1))])
+        return acc.check() if local else True
 
 
 # ----------------------------------------------------------------------
@@ -345,19 +363,19 @@ class BulletReductionProof:
         return u_sq, u_inv_sq, s
 
     @verify_guard(failure=None)
-    def verify(self, n: int, a: Sequence[int], transcript,
-               Gamma: RPoint, gens_n: MultiCommitGens):
-        """The s-vector MSM over the (fixed) generators rides the cached
-        digit table (reference bullet.rs:191-225 one-big-MSM trick)."""
-        import jax.numpy as jnp
-        from ..curve.msm import host_digits
+    def verify_terms(self, n: int, a: Sequence[int], transcript,
+                     Gamma_terms):
+        """Deferred form: returns (G_hat_terms, Gamma_hat_terms, a_hat)
+        — the verifier's one-big-MSM trick (bullet.rs:191-225) expressed
+        as linear term lists for the batch accumulator."""
         u_sq, u_inv_sq, s = self.verification_scalars(n, transcript)
-        Ls = decompress_many(self.L_vec)
-        Rs = decompress_many(self.R_vec)
-        G_hat = RPoint(gens_n.G_msm.msm(jnp.asarray(host_digits(s))))
+        G_hat_terms = [(s_i % L, i) for i, s_i in enumerate(s)]  # gens idx
         a_hat = dot_ints(a, s)
-        Gamma_hat = msm_host(u_sq + u_inv_sq + [1], Ls + Rs + [Gamma])
-        return G_hat, Gamma_hat, a_hat
+        Gamma_hat_terms = (
+            [(u % L, bytes(Lc)) for u, Lc in zip(u_sq, self.L_vec)]
+            + [(u % L, bytes(Rc)) for u, Rc in zip(u_inv_sq, self.R_vec)]
+            + list(Gamma_terms))
+        return G_hat_terms, Gamma_hat_terms, a_hat
 
 
 # ----------------------------------------------------------------------
@@ -420,30 +438,67 @@ class DotProductProofLog:
 
     @verify_guard(failure=False)
     def verify(self, n: int, gens, transcript, a: Sequence[int],
-               Cx: bytes, Cy: bytes) -> bool:
+               Cx: bytes, Cy, acc=None) -> bool:
+        """Cx: compressed bytes (appended to the transcript); Cy: bytes
+        OR a term list for verifier-combined claims."""
         assert gens.n == n and len(a) == n
+        local = acc is None
+        if local:
+            acc = VerifyAccumulator()
         transcript.append_protocol_name(DotProductProofLog.PROTOCOL)
         transcript.append_point(b"Cx", Cx)
-        transcript.append_point(b"Cy", Cy)
+        if isinstance(Cy, (bytes, bytearray)):
+            Cy_b = bytes(Cy)
+        else:
+            from ..batch_verify import combine_compress
+            Cy_b = combine_compress(*_terms_to_points_scalars(Cy))
+        transcript.append_point(b"Cy", Cy_b)
         append_scalars_vector(transcript, b"a", a)
 
         r = transcript.challenge_scalar(b"r")
-        gens_1_scaled_G = RPoint(PointE_first(gens.gens_1.G)).mul(r)
-        h = RPoint(gens.gens_1.h)
-        Gamma = RPoint.decompress(Cx) + RPoint.decompress(Cy).mul(r)
+        Gamma_terms = [(1, bytes(Cx)), (r % L, Cy_b)]
 
-        g_hat, Gamma_hat, a_hat = self.bullet.verify(
-            n, a, transcript, Gamma, gens.gens_n)
+        res = self.bullet.verify_terms(n, a, transcript, Gamma_terms)
+        if res is None:
+            return None if not local else False
+        g_hat_terms, Gamma_hat_terms, a_hat = res
         transcript.append_point(b"delta", self.delta)
         transcript.append_point(b"beta", self.beta)
         c = transcript.challenge_scalar(b"c")
 
-        beta_p = RPoint.decompress(self.beta)
-        delta_p = RPoint.decompress(self.delta)
-        lhs = ((Gamma_hat.mul(c) + beta_p).mul(a_hat) + delta_p).compress()
-        rhs = ((g_hat + gens_1_scaled_G.mul(a_hat)).mul(self.z1)
-               + h.mul(self.z2)).compress()
-        return lhs == rhs
+        # (c*Gamma_hat + beta)*a_hat + delta
+        #   == z1*(g_hat + r*a_hat... ) ... flattened:
+        # lhs - rhs == 0 with
+        # lhs = (c*a_hat)*Gamma_hat + a_hat*beta + delta
+        # rhs = z1*g_hat + (r*a_hat*z1)*G1 + z2*h
+        eq = scale_terms(Gamma_hat_terms, c * a_hat % L)
+        eq += [(a_hat % L, self.beta), (1, self.delta)]
+        eq += [((L - si * self.z1) % L, (gens.gens_n, i))
+               for si, i in g_hat_terms]
+        eq += [((L - r * a_hat * self.z1) % L, (gens.gens_1, 0)),
+               ((L - self.z2) % L, (gens.gens_1, -1))]
+        acc.add(eq)
+        return acc.check() if local else True
+
+
+def _terms_to_points_scalars(terms):
+    """Materialization helper: term list (scalars x bytes/RPoint/gens-idx)
+    -> (points, scalars) for combine_compress."""
+    pts, ss = [], []
+    for s, ref in terms:
+        if isinstance(ref, (bytes, bytearray)):
+            pts.append(RPoint.decompress(bytes(ref)))
+        elif isinstance(ref, RPoint):
+            pts.append(ref)
+        else:
+            gens, idx = ref
+            from ..curve.ristretto import PointE
+            if idx == -1:
+                pts.append(RPoint(gens.h))
+            else:
+                pts.append(RPoint(PointE(*(c[idx] for c in gens.G))))
+        ss.append(s % L)
+    return pts, ss
 
 
 def PointE_first(G):
@@ -463,3 +518,10 @@ class DotProductProofGens:
         self.n = n
         full = MultiCommitGens.new(n + 1, label)
         self.gens_n, self.gens_1 = full.split_at(n)
+
+
+@functools.lru_cache(maxsize=None)
+def dot_product_proof_gens(n: int, label: bytes) -> DotProductProofGens:
+    """Cached per (n, label) so the split gens — and their MSM digit
+    tables — persist across proofs in one process."""
+    return DotProductProofGens(n, label)

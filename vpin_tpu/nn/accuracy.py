@@ -53,43 +53,48 @@ def build_lenet5():
 
 def forward_fixed_point_with_trunc(model, x, fraction_bits=FRACTION_BITS,
                                    trunc_bits=TRUNC_BITS):
-    """Quantized forward: weights/activations at f fractional bits, with
-    the protocol's truncation schedule between layers."""
+    """Quantized forward replicating the reference exactly
+    (train_test_lenet5.py forwardFixedPointWithTrunc + truncation +
+    convertModelParametersToFixedPoint): every parameter and the input
+    are rounded to f=16 fixed point (held in float tensors, as the
+    reference does), activations truncated at 35/33/32/33 bits after
+    conv1/conv2/fc(conv3)/fc1 respectively."""
+    import copy
     torch, _ = _torch()
-    scale = 2 ** fraction_bits
-
-    def q(t):
-        return torch.round(t * scale)
+    scale = 2.0 ** fraction_bits
 
     def trunc(t, bits):
-        return torch.round(t / (2 ** bits) * scale)
+        return torch.round(t / (2.0 ** bits) * scale)
 
     with torch.no_grad():
-        w1, b1 = q(model.conv1.weight), q(model.conv1.bias)
-        z = torch.nn.functional.conv2d(q(x), w1)                # scale 2f
-        z = torch.nn.functional.avg_pool2d(torch.relu(z), 2, 2)
-        z = trunc(z, trunc_bits[0] - fraction_bits)
-        w2, b2 = q(model.conv2.weight), q(model.conv2.bias)
-        z = torch.nn.functional.conv2d(z, w2)
-        z = torch.nn.functional.avg_pool2d(torch.relu(z), 2, 2)
-        z = trunc(z, trunc_bits[1] - fraction_bits)
-        w3, _ = q(model.conv3.weight), q(model.conv3.bias)
-        z = torch.relu(torch.nn.functional.conv2d(z, w3))
-        z = trunc(z, trunc_bits[2] - fraction_bits)
+        m = copy.deepcopy(model)
+        for p in m.parameters():
+            p.copy_(torch.round(p * scale))
+        xq = torch.round(x * scale)
+
+        z = torch.relu(m.conv1(xq))
+        z = trunc(z, trunc_bits[0])
+        z = m.pool(z)
+        z = torch.relu(m.conv2(z))
+        z = trunc(z, trunc_bits[1])
+        z = m.pool(z)
+        z = torch.relu(m.conv3(z))           # == reference fc(400->120)
+        z = trunc(z, trunc_bits[2])
         z = z.flatten(1)
-        z = torch.relu(z @ q(model.fc1.weight).T + q(model.fc1.bias) * scale)
-        z = trunc(z, trunc_bits[3] - fraction_bits)
-        z = z @ q(model.fc2.weight).T + q(model.fc2.bias) * scale
-        return z
+        z = torch.relu(m.fc1(z))
+        z = trunc(z, trunc_bits[3])
+        return m.fc2(z)
 
 
 def synthetic_dataset(n=512, seed=0):
+    """32x32 inputs (the reference resizes MNIST 28->32,
+    train_test_lenet5.py:112-113)."""
     rng = np.random.RandomState(seed)
-    xs = rng.uniform(0, 1, (n, 1, 28, 28)).astype(np.float32)
+    xs = rng.uniform(0, 1, (n, 1, 32, 32)).astype(np.float32)
     ys = np.zeros(n, dtype=np.int64)
     for i in range(n):
         cls = i % 10
-        xs[i, 0, cls * 2: cls * 2 + 3, 5:23] += 2.0
+        xs[i, 0, cls * 2: cls * 2 + 3, 5:27] += 2.0
         ys[i] = cls
     xs = xs / xs.max()
     return xs, ys

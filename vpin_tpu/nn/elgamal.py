@@ -16,6 +16,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 import jax.numpy as jnp
 
+from ..curve.fixed_base import FixedBaseTable, scalars_to_digits
 from ..curve.host_ec import E2_G_HOST, E2_ORDER, HostPoint
 from ..curve.weierstrass import E2, PointW, scalars_to_bits
 from .bsgs import BsgsTable
@@ -29,6 +30,16 @@ class CipherTensor(NamedTuple):
     @property
     def batch_shape(self):
         return self.c1.x.shape[:-1]
+
+
+_G_TABLE: Optional[FixedBaseTable] = None
+
+
+def _g_table() -> FixedBaseTable:
+    global _G_TABLE
+    if _G_TABLE is None:
+        _G_TABLE = FixedBaseTable(E2, E2.generator())
+    return _G_TABLE
 
 
 @dataclass
@@ -45,6 +56,14 @@ class KeyPair:
         h_dev = PointW(*(c[0] for c in E2.from_affine_host([h])))
         return KeyPair(x, h, h_dev)
 
+    @property
+    def h_table(self) -> FixedBaseTable:
+        tbl = getattr(self, "_h_table", None)
+        if tbl is None:
+            tbl = FixedBaseTable(E2, self.h_dev)
+            object.__setattr__(self, "_h_table", tbl)
+        return tbl
+
 
 def _fixed_base_mul(base: PointW, scalars, n_bits) -> PointW:
     arr = np.asarray(scalars, dtype=object)
@@ -56,21 +75,22 @@ def _fixed_base_mul(base: PointW, scalars, n_bits) -> PointW:
 
 def encrypt_batch(messages, key: KeyPair,
                   rng: Optional[random.Random] = None) -> CipherTensor:
-    """Encrypt a host integer array (any shape); negatives handled by
-    point negation so ladders stay short for small messages."""
+    """Encrypt a host integer array (any shape).  The fixed bases G and h
+    use cached windowed digit tables (curve/fixed_base.py): one gather +
+    log2(32) adds per point instead of a 253-round ladder."""
     rng = rng or random.Random()
     arr = np.asarray(messages, dtype=object)
     flat = [int(v) for v in arr.reshape(-1)]
     n = len(flat)
     rs = [rng.randrange(1, E2_ORDER - 1) for _ in range(n)]
+    r_digits = scalars_to_digits(np.asarray(rs, dtype=object).reshape(arr.shape))
 
-    G = E2.generator()
-    c1 = _fixed_base_mul(G, np.asarray(rs, dtype=object).reshape(arr.shape), 253)
-    rh = _fixed_base_mul(key.h_dev, np.asarray(rs, dtype=object).reshape(arr.shape), 253)
+    c1 = _g_table().mul(r_digits)
+    rh = key.h_table.mul(r_digits)
 
     absm = [abs(v) for v in flat]
-    mb = max(1, max((v.bit_length() for v in absm), default=1))
-    mg = _fixed_base_mul(G, np.asarray(absm, dtype=object).reshape(arr.shape), mb)
+    mg = _g_table().mul(scalars_to_digits(
+        np.asarray(absm, dtype=object).reshape(arr.shape)))
     neg = np.asarray([v < 0 for v in flat], dtype=bool).reshape(arr.shape)
     mg = E2.pselect(neg, E2.pneg(mg), mg)
 

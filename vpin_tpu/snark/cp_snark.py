@@ -126,11 +126,14 @@ def cp_commit_witness(vars_para, vars_input,
     comm_vars, blind_vars = combined_commit(
         poly_vars, gens.gens_r1cs_sat.gens_pc, blind_para, blind_input)
 
-    # homomorphism sanity check (proof_point_add.rs:69-78)
-    pa = decompress_many(comm_para.C)
-    pi = decompress_many(comm_input.C)
-    for i, c in enumerate(comm_vars.C):
-        assert (pa[i] + pi[i]).compress() == c, f"commit homomorphism row {i}"
+    # homomorphism sanity check (proof_point_add.rs:69-78), batched
+    from ..curve.ristretto import RISTRETTO, PointE
+    n_rows = len(comm_para.C)
+    pts = RISTRETTO.decode_bytes(list(comm_para.C) + list(comm_input.C))
+    pa = PointE(*(c[:n_rows] for c in pts))
+    pi = PointE(*(c[n_rows:] for c in pts))
+    combined_rows = RISTRETTO.encode_bytes(RISTRETTO.padd(pa, pi))
+    assert combined_rows == list(comm_vars.C), "commit homomorphism"
 
     return (poly_vars, comm_vars, blind_vars, comm_para, comm_input)
 
@@ -178,13 +181,16 @@ def cp_snark_verify(proof: CPSnarkProof, inst: R1CSInstance, inputs: List[int],
                     comm_para: PolyCommitment, comm_input: PolyCommitment,
                     comm=None) -> bool:
     """my_lib_verify (commit_test.rs:498-544).  In transparent mode
-    (comm None) the verifier evaluates the public matrices directly."""
+    (comm None) the verifier evaluates the public matrices directly.
+    All group equations defer into one batched final check."""
+    from ..batch_verify import VerifyAccumulator
+    acc = VerifyAccumulator()
     transcript.append_protocol_name(SNARK_PROTOCOL)
 
     res = r1cs_verify_cp(
         proof.r1cs_sat_proof, gens.num_vars_padded, inst.num_cons,
         inputs, proof.inst_evals, transcript, gens.gens_r1cs_sat,
-        comm_para, comm_input)
+        comm_para, comm_input, acc=acc)
     if res is None:
         return False
     rx, ry = res
@@ -195,8 +201,13 @@ def cp_snark_verify(proof: CPSnarkProof, inst: R1CSInstance, inputs: List[int],
     transcript.append_scalar(b"Cr_claim", Cr)
 
     if proof.r1cs_eval_proof is not None:
-        return proof.r1cs_eval_proof.verify(
-            comm, rx, ry, proof.inst_evals, gens.gens_r1cs_eval, transcript)
-    # transparent mode: recompute the evaluations from the public instance
-    got = inst.evaluate(rx, ry)
-    return tuple(x % L for x in got) == tuple(x % L for x in proof.inst_evals)
+        if not proof.r1cs_eval_proof.verify(
+                comm, rx, ry, proof.inst_evals, gens.gens_r1cs_eval,
+                transcript, acc=acc):
+            return False
+    else:
+        # transparent mode: recompute evaluations from the public instance
+        got = inst.evaluate(rx, ry)
+        if tuple(x % L for x in got) != tuple(x % L for x in proof.inst_evals):
+            return False
+    return acc.check()

@@ -70,11 +70,15 @@ class NIZK:
         transcript.append_protocol_name(NIZK_PROTOCOL)
         transcript.append_message(b"R1CSInstanceDigest", instance_digest(inst))
         claimed_rx, claimed_ry = self.r
+        from ..batch_verify import VerifyAccumulator
+        acc = VerifyAccumulator()
         inst_evals = inst.evaluate(claimed_rx, claimed_ry)
         res = r1cs_verify_stock(self.r1cs_sat_proof, inst.num_vars,
                                 inst.num_cons, inputs, inst_evals,
-                                transcript, gens.gens_r1cs_sat)
+                                transcript, gens.gens_r1cs_sat, acc=acc)
         if res is None:
             return False
         rx, ry = res
-        return (list(rx) == list(claimed_rx)) and (list(ry) == list(claimed_ry))
+        if (list(rx) != list(claimed_rx)) or (list(ry) != list(claimed_ry)):
+            return False
+        return acc.check()

@@ -48,8 +48,9 @@ class PolyCommitmentGens:
     """reference: dense_mlpoly.rs PolyCommitmentGens::new."""
 
     def __init__(self, num_poly_vars: int, label: bytes):
+        from ..nizk.sigma import dot_product_proof_gens
         _, right = factored_lens(num_poly_vars)
-        self.gens = DotProductProofGens(1 << right, label)
+        self.gens = dot_product_proof_gens(1 << right, label)
 
 
 class R1CSSumcheckGens:
@@ -139,15 +140,27 @@ class PolyEvalProof:
 
     @verify_guard(failure=False)
     def verify(self, gens: PolyCommitmentGens, transcript: Transcript,
-               r: Sequence[int], C_Zr: bytes, comm: PolyCommitment) -> bool:
+               r: Sequence[int], C_Zr, comm: PolyCommitment,
+               acc=None) -> bool:
+        """C_Zr: compressed bytes or a deferred term list (for
+        verifier-known committed values)."""
+        from ..batch_verify import VerifyAccumulator
+        from ..commit.pedersen import msm_points
+        local = acc is None
+        if local:
+            acc = VerifyAccumulator()
         transcript.append_protocol_name(PolyEvalProof.PROTOCOL)
         lnv, rnv = factored_lens(len(r))
         L_vec = _eq_half(r[:lnv])
         R_vec = _eq_half(r[lnv:])
-        C_pts = decompress_many(comm.C)
-        C_LZ = msm_host(L_vec, C_pts).compress()
-        return self.proof.verify(len(R_vec), gens.gens, transcript,
-                                 R_vec, C_LZ, C_Zr)
+        # C_LZ enters the transcript (as Cx): one batched decode + MSM
+        C_pts = RISTRETTO.decode_bytes(list(comm.C))
+        C_LZ = RPoint(msm_points(L_vec, C_pts)).compress()
+        ok = self.proof.verify(len(R_vec), gens.gens, transcript,
+                               R_vec, C_LZ, C_Zr, acc=acc)
+        if not ok:
+            return False
+        return acc.check() if local else True
 
     def size(self) -> int:
         b = self.proof.bullet
@@ -338,42 +351,55 @@ def _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
 def r1cs_verify_cp(proof: R1CSProof, num_vars: int, num_cons: int,
                    inputs: List[int], evals: Tuple[int, int, int],
                    transcript: Transcript, gens: R1CSGens,
-                   comm_1: PolyCommitment, comm_2: PolyCommitment):
+                   comm_1: PolyCommitment, comm_2: PolyCommitment,
+                   acc=None):
     """my_r1csproof_verify (commit_test.rs:340-496).  Returns (rx, ry) or
     None on failure."""
     transcript.append_protocol_name(R1CSProof.PROTOCOL)
 
-    c1 = decompress_many(comm_1.C)
-    c2 = decompress_many(comm_2.C)
-    combined = PolyCommitment([(a + b).compress() for a, b in zip(c1, c2)])
+    n_rows = len(comm_1.C)
+    assert len(comm_2.C) == n_rows
+    pts = RISTRETTO.decode_bytes(list(comm_1.C) + list(comm_2.C))
+    a = PointE(*(c[:n_rows] for c in pts))
+    b = PointE(*(c[n_rows:] for c in pts))
+    combined = PolyCommitment(RISTRETTO.encode_bytes(RISTRETTO.padd(a, b)))
     combined.append_to_transcript(b"poly_commitment", transcript)
     return _r1cs_verify_core(proof, num_vars, num_cons, inputs, evals,
-                             transcript, gens, combined)
+                             transcript, gens, combined, acc=acc)
 
 
 @verify_guard(failure=None)
 def r1cs_verify_stock(proof: R1CSProof, num_vars: int, num_cons: int,
                       inputs: List[int], evals: Tuple[int, int, int],
-                      transcript: Transcript, gens: R1CSGens):
+                      transcript: Transcript, gens: R1CSGens, acc=None):
     """Stock R1CSProof::verify (r1csproof.rs:368-500)."""
     transcript.append_protocol_name(R1CSProof.PROTOCOL)
     from ..nizk.sigma import append_scalars_vector
     append_scalars_vector(transcript, b"input", inputs)
     proof.comm_vars.append_to_transcript(b"poly_commitment", transcript)
     return _r1cs_verify_core(proof, num_vars, num_cons, inputs, evals,
-                             transcript, gens, proof.comm_vars)
+                             transcript, gens, proof.comm_vars, acc=acc)
+
+
+IDENTITY_BYTES = bytes(32)      # compressed ristretto identity
 
 
 def _r1cs_verify_core(proof, num_vars, num_cons, inputs, evals, transcript,
-                      gens, comm_for_eval):
+                      gens, comm_for_eval, acc=None):
+    from ..batch_verify import VerifyAccumulator, combine_compress
+    from ..curve.ristretto import PointE as _PE
+    local = acc is None
+    if local:
+        acc = VerifyAccumulator()
     num_rounds_x = _log2(num_cons)
     num_rounds_y = _log2(2 * num_vars)
     tau = transcript.challenge_vector(b"challenge_tau", num_rounds_x)
 
-    claim_phase1 = commit1(0, 0, gens.gens_sc.gens_1).compress()
+    # commit1(0, 0) is the identity point
+    claim_phase1 = IDENTITY_BYTES
     res1 = proof.sc_proof_phase1.verify(
         claim_phase1, num_rounds_x, 3, gens.gens_sc.gens_1,
-        gens.gens_sc.gens_4, transcript)
+        gens.gens_sc.gens_4, transcript, acc=acc)
     if res1 is None:
         return None
     comm_claim_post_phase1, rx = res1
@@ -381,10 +407,11 @@ def _r1cs_verify_core(proof, num_vars, num_cons, inputs, evals, transcript,
     comm_Az_claim, comm_Bz_claim, comm_Cz_claim, comm_prod_Az_Bz_claims = \
         proof.claims_phase2
     pok_Cz_claim, proof_prod = proof.pok_claims_phase2
-    if not pok_Cz_claim.verify(gens.gens_sc.gens_1, transcript, comm_Cz_claim):
+    if not pok_Cz_claim.verify(gens.gens_sc.gens_1, transcript,
+                               comm_Cz_claim, acc=acc):
         return None
     if not proof_prod.verify(gens.gens_sc.gens_1, transcript, comm_Az_claim,
-                             comm_Bz_claim, comm_prod_Az_Bz_claims):
+                             comm_Bz_claim, comm_prod_Az_Bz_claims, acc=acc):
         return None
 
     transcript.append_point(b"comm_Az_claim", comm_Az_claim)
@@ -392,55 +419,58 @@ def _r1cs_verify_core(proof, num_vars, num_cons, inputs, evals, transcript,
     transcript.append_point(b"comm_Cz_claim", comm_Cz_claim)
     transcript.append_point(b"comm_prod_Az_Bz_claims", comm_prod_Az_Bz_claims)
 
+    # one batched decode of the four claim points
+    claim_pts = decompress_many([comm_Az_claim, comm_Bz_claim,
+                                 comm_Cz_claim, comm_prod_Az_Bz_claims])
+
     taus_bound_rx = 1
     for i in range(len(rx)):
         taus_bound_rx = taus_bound_rx * (
             rx[i] * tau[i] + (1 - rx[i]) * (1 - tau[i])) % L
-    expected_claim_post_phase1 = (
-        RPoint.decompress(comm_prod_Az_Bz_claims)
-        - RPoint.decompress(comm_Cz_claim)).mul(taus_bound_rx).compress()
+    expected_claim_post_phase1 = combine_compress(
+        [claim_pts[3], claim_pts[2]],
+        [taus_bound_rx, (L - taus_bound_rx) % L])
 
     if not proof.proof_eq_sc_phase1.verify(
             gens.gens_sc.gens_1, transcript,
-            expected_claim_post_phase1, comm_claim_post_phase1):
+            expected_claim_post_phase1, comm_claim_post_phase1, acc=acc):
         return None
 
     r_A = transcript.challenge_scalar(b"challenege_Az")
     r_B = transcript.challenge_scalar(b"challenege_Bz")
     r_C = transcript.challenge_scalar(b"challenege_Cz")
-    comm_claim_phase2 = msm_host(
-        [r_A, r_B, r_C],
-        decompress_many([comm_Az_claim, comm_Bz_claim, comm_Cz_claim])).compress()
+    comm_claim_phase2 = combine_compress(claim_pts[:3], [r_A, r_B, r_C])
 
     res2 = proof.sc_proof_phase2.verify(
         comm_claim_phase2, num_rounds_y, 2, gens.gens_sc.gens_1,
-        gens.gens_sc.gens_3, transcript)
+        gens.gens_sc.gens_3, transcript, acc=acc)
     if res2 is None:
         return None
     comm_claim_post_phase2, ry = res2
 
     if not proof.proof_eval_vars_at_ry.verify(
             gens.gens_pc, transcript, ry[1:], proof.comm_vars_at_ry,
-            comm_for_eval):
+            comm_for_eval, acc=acc):
         return None
 
     # poly_input_eval: sparse poly [1, inputs...] evaluated at ry[1:]
     poly_input_eval = _sparse_poly_eval(
         [1] + list(inputs), _log2(num_vars), ry[1:])
 
-    comm_eval_Z_at_ry = msm_host(
-        [(1 - ry[0]) % L, ry[0]],
-        [RPoint.decompress(proof.comm_vars_at_ry),
-         commit1(poly_input_eval, 0, gens.gens_pc.gens.gens_1)])
-
     eval_A_r, eval_B_r, eval_C_r = evals
     scalar = (r_A * eval_A_r + r_B * eval_B_r + r_C * eval_C_r) % L
-    expected_claim_post_phase2 = comm_eval_Z_at_ry.mul(scalar).compress()
+    g1 = gens.gens_pc.gens.gens_1
+    expected_claim_post_phase2 = combine_compress(
+        [RPoint.decompress(proof.comm_vars_at_ry),
+         RPoint(PointE(*(c[0] for c in g1.G)))],
+        [(1 - ry[0]) * scalar % L, ry[0] * poly_input_eval * scalar % L])
     if not proof.proof_eq_sc_phase2.verify(
-            gens.gens_pc.gens.gens_1, transcript,
-            expected_claim_post_phase2, comm_claim_post_phase2):
+            g1, transcript,
+            expected_claim_post_phase2, comm_claim_post_phase2, acc=acc):
         return None
 
+    if local and not acc.check():
+        return None
     return rx, ry
 
 

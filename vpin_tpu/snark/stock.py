@@ -98,12 +98,14 @@ class SNARK:
     @verify_guard(failure=False)
     def verify(self, comm, inst: R1CSInstance, inputs: List[int],
                transcript: Transcript, gens: SNARKGens) -> bool:
+        from ..batch_verify import VerifyAccumulator
+        acc = VerifyAccumulator()
         transcript.append_protocol_name(SNARK_PROTOCOL)
         comm.append_to_transcript(b"comm", transcript)
 
         res = r1cs_verify_stock(
             self.r1cs_sat_proof, gens.num_vars_padded, inst.num_cons,
-            inputs, self.inst_evals, transcript, gens.gens_r1cs_sat)
+            inputs, self.inst_evals, transcript, gens.gens_r1cs_sat, acc=acc)
         if res is None:
             return False
         rx, ry = res
@@ -112,8 +114,11 @@ class SNARK:
         transcript.append_scalar(b"Ar_claim", Ar)
         transcript.append_scalar(b"Br_claim", Br)
         transcript.append_scalar(b"Cr_claim", Cr)
-        return self.r1cs_eval_proof.verify(
-            comm, rx, ry, self.inst_evals, gens.gens_r1cs_eval, transcript)
+        if not self.r1cs_eval_proof.verify(
+                comm, rx, ry, self.inst_evals, gens.gens_r1cs_eval,
+                transcript, acc=acc):
+            return False
+        return acc.check()
 
 
 def snark_prove_synthetic(num_cons: int, num_vars: int, num_inputs: int,

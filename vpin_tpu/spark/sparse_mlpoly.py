@@ -237,7 +237,8 @@ class DerefsEvalProof:
     @verify_guard(failure=False)
     def verify(self, r: Sequence[int], eval_row: List[int],
                eval_col: List[int], gens: PolyCommitmentGens,
-               comm: PolyCommitment, transcript: Transcript) -> bool:
+               comm: PolyCommitment, transcript: Transcript,
+               acc=None) -> bool:
         transcript.append_protocol_name(DerefsEvalProof.PROTOCOL)
         evals = list(eval_row) + list(eval_col)
         evals += [0] * (_next_pow2(len(evals)) - len(evals))
@@ -247,9 +248,10 @@ class DerefsEvalProof:
         joint_eval = DerefsEvalProof._bound_bot_ints(evals, challenges)
         r_joint = list(challenges) + list(r)
         transcript.append_scalar(b"joint_claim_eval", joint_eval)
-        # verify_plain: commitment to joint_eval with zero blind
-        C_Zr = commit1(joint_eval, 0, gens.gens.gens_1).compress()
-        return self.proof_derefs.verify(gens, transcript, r_joint, C_Zr, comm)
+        # verify_plain: commitment to joint_eval with zero blind (deferred)
+        C_Zr = [(joint_eval % L, (gens.gens.gens_1, 0))]
+        return self.proof_derefs.verify(gens, transcript, r_joint, C_Zr,
+                                        comm, acc=acc)
 
     def size(self) -> int:
         return self.proof_derefs.size()
@@ -409,14 +411,14 @@ class HashLayerProof:
     def verify(self, rand, claims_row, claims_col, claims_dotp,
                comm: SparseMatPolyCommitment, gens: SparseMatPolyCommitmentGens,
                comm_derefs: PolyCommitment, rx, ry, r_hash, r_multiset,
-               transcript: Transcript) -> bool:
+               transcript: Transcript, acc=None) -> bool:
         transcript.append_protocol_name(HashLayerProof.PROTOCOL)
         rand_mem, rand_ops = rand
 
         eval_row_ops_val, eval_col_ops_val = self.eval_derefs
         if not self.proof_derefs.verify(rand_ops, eval_row_ops_val,
                                         eval_col_ops_val, gens.gens_derefs,
-                                        comm_derefs, transcript):
+                                        comm_derefs, transcript, acc=acc):
             return False
 
         assert len(claims_dotp) == 3 * len(eval_row_ops_val)
@@ -438,9 +440,9 @@ class HashLayerProof:
         joint_ops = DerefsEvalProof._bound_bot_ints(evals_ops, challenges_ops)
         r_joint_ops = list(challenges_ops) + list(rand_ops)
         transcript.append_scalar(b"joint_claim_eval_ops", joint_ops)
-        C_ops = commit1(joint_ops, 0, gens.gens_ops.gens.gens_1).compress()
+        C_ops = [(joint_ops % L, (gens.gens_ops.gens.gens_1, 0))]
         if not self.proof_ops.verify(gens.gens_ops, transcript, r_joint_ops,
-                                     C_ops, comm.comm_comb_ops):
+                                     C_ops, comm.comm_comb_ops, acc=acc):
             return False
 
         evals_mem = [eval_row_audit_ts, eval_col_audit_ts]
@@ -450,9 +452,9 @@ class HashLayerProof:
         joint_mem = DerefsEvalProof._bound_bot_ints(evals_mem, challenges_mem)
         r_joint_mem = list(challenges_mem) + list(rand_mem)
         transcript.append_scalar(b"joint_claim_eval_mem", joint_mem)
-        C_mem = commit1(joint_mem, 0, gens.gens_mem.gens.gens_1).compress()
+        C_mem = [(joint_mem % L, (gens.gens_mem.gens.gens_1, 0))]
         if not self.proof_mem.verify(gens.gens_mem, transcript, r_joint_mem,
-                                     C_mem, comm.comm_comb_mem):
+                                     C_mem, comm.comm_comb_mem, acc=acc):
             return False
 
         if not self._verify_helper(rand_mem, claims_row, eval_row_ops_val,
@@ -658,7 +660,7 @@ class PolyEvalNetworkProof:
 
     @verify_guard(failure=False)
     def verify(self, comm, comm_derefs, evals, gens, rx, ry, r_mem_check,
-               nz: int, transcript: Transcript) -> bool:
+               nz: int, transcript: Transcript, acc=None) -> bool:
         transcript.append_protocol_name(PolyEvalNetworkProof.PROTOCOL)
         r_hash, r_multiset = r_mem_check
         num_ops = _next_pow2(nz)
@@ -675,7 +677,8 @@ class PolyEvalNetworkProof:
                       claims_ops[3 * B:4 * B], claims_mem[3])
         return self.proof_hash_layer.verify(
             (rand_mem, rand_ops), claims_row, claims_col, claims_dotp,
-            comm, gens, comm_derefs, rx, ry, r_hash, r_multiset, transcript)
+            comm, gens, comm_derefs, rx, ry, r_hash, r_multiset, transcript,
+            acc=acc)
 
     def size(self) -> int:
         return self.proof_prod_layer.size() + self.proof_hash_layer.size()
@@ -718,7 +721,7 @@ class SparseMatPolyEvalProof:
     @verify_guard(failure=False)
     def verify(self, comm: SparseMatPolyCommitment, rx, ry, evals,
                gens: SparseMatPolyCommitmentGens,
-               transcript: Transcript) -> bool:
+               transcript: Transcript, acc=None) -> bool:
         transcript.append_protocol_name(SparseMatPolyEvalProof.PROTOCOL)
         rx_ext, ry_ext = _equalize(rx, ry)
         nz, num_mem_cells = comm.num_ops, comm.num_mem_cells
@@ -728,7 +731,7 @@ class SparseMatPolyEvalProof:
         r_mem_check = transcript.challenge_vector(b"challenge_r_hash", 2)
         return self.poly_eval_network_proof.verify(
             comm, self.comm_derefs, list(evals), gens, rx_ext, ry_ext,
-            (r_mem_check[0], r_mem_check[1]), nz, transcript)
+            (r_mem_check[0], r_mem_check[1]), nz, transcript, acc=acc)
 
     def size(self) -> int:
         return self.comm_derefs.size() + self.poly_eval_network_proof.size()
@@ -748,8 +751,9 @@ class R1CSEvalProof:
             dense, rx, ry, list(evals), gens, transcript, tape))
 
     @verify_guard(failure=False)
-    def verify(self, comm, rx, ry, evals, gens, transcript) -> bool:
-        return self.proof.verify(comm, rx, ry, list(evals), gens, transcript)
+    def verify(self, comm, rx, ry, evals, gens, transcript, acc=None) -> bool:
+        return self.proof.verify(comm, rx, ry, list(evals), gens, transcript,
+                                 acc=acc)
 
     def size(self) -> int:
         return self.proof.size()

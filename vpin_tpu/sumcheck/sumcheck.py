@@ -234,24 +234,39 @@ class ZKSumcheckInstanceProof:
 
     @verify_guard(failure=None)
     def verify(self, comm_claim: bytes, num_rounds: int, degree_bound: int,
-               gens_1, gens_n, transcript: Transcript):
+               gens_1, gens_n, transcript: Transcript, acc=None):
+        """Deferred batch verification: all proof points are decoded in
+        ONE batched call; each round materializes only the combined-claim
+        commitment the transcript needs (one fused device call) and
+        defers its group equations into `acc`."""
+        from ..batch_verify import VerifyAccumulator, combine_compress
+        from ..curve.rpoint import decompress_many
+        local = acc is None
+        if local:
+            acc = VerifyAccumulator()
         assert gens_n.n == degree_bound + 1
         assert len(self.comm_polys) == num_rounds
+        assert len(self.comm_evals) == num_rounds
+        assert len(self.proofs) == num_rounds
+
+        # one batched decode of every claim/eval point this proof touches
+        chain = [bytes(comm_claim)] + [bytes(b) for b in self.comm_evals]
+        chain_pts = decompress_many(chain)
+
         r: List[int] = []
         for i in range(num_rounds):
             comm_poly = self.comm_polys[i]
             transcript.append_point(b"comm_poly", comm_poly)
             r_i = transcript.challenge_scalar(b"challenge_nextround")
 
-            comm_claim_per_round = comm_claim if i == 0 else self.comm_evals[i - 1]
+            comm_claim_per_round = chain[i]
             comm_eval = self.comm_evals[i]
             transcript.append_point(b"comm_claim_per_round", comm_claim_per_round)
             transcript.append_point(b"comm_eval", comm_eval)
             w = transcript.challenge_vector(b"combine_two_claims_to_one", 2)
 
-            comm_target = msm_host(
-                w, [RPoint.decompress(comm_claim_per_round),
-                    RPoint.decompress(comm_eval)]).compress()
+            comm_target = combine_compress(
+                [chain_pts[i], chain_pts[i + 1]], w)
 
             a_sc = [1] * (degree_bound + 1)
             a_sc[0] = 2
@@ -262,9 +277,11 @@ class ZKSumcheckInstanceProof:
                  for j in range(degree_bound + 1)]
 
             if not self.proofs[i].verify(gens_1, gens_n, transcript, a,
-                                         comm_poly, comm_target):
+                                         comm_poly, comm_target, acc=acc):
                 return None
             r.append(r_i)
+        if local and not acc.check():
+            return None
         return self.comm_evals[-1], r
 
     @staticmethod

@@ -34,7 +34,12 @@ _MALFORMED = (ProofVerifyError, AssertionError, ValueError, IndexError,
 
 def verify_guard(failure=False):
     """Decorator: convert malformed-proof exceptions into a clean failure
-    value (False for bool verifiers, None for Optional-returning ones)."""
+    value (False for bool verifiers, None for Optional-returning ones).
+    Set VPIN_NO_GUARD=1 to let exceptions propagate (debugging)."""
+    import os
+    if os.environ.get("VPIN_NO_GUARD", "0") == "1":
+        return lambda fn: fn
+
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
