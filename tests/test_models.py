@@ -13,9 +13,24 @@ import numpy as np
 import pytest
 
 from vpin_tpu.nn import BsgsTable, KeyPair
-from vpin_tpu.nn.models import run_cnn_workload, run_lenet_workload
+from vpin_tpu.nn.models import (
+    load_pretrained_weights, run_cnn_workload, run_lenet_workload,
+)
 
 pytestmark = pytest.mark.slow
+
+
+def test_pretrained_weight_loader():
+    """Reference Pre_trained_model/ .npy weights load with the right
+    shapes when available; missing files fall back to None."""
+    for v, (fc1_in, fc1_out, _, _) in {"A": (64, 16, 4, 4),
+                                       "E": (256, 64, 2, 2)}.items():
+        w = load_pretrained_weights(v)
+        if w is None:
+            pytest.skip("reference Pre_trained_model not present")
+        assert w["weight_fc1"].shape == (fc1_in, fc1_out)
+        assert w["weight_fc2"].shape == (fc1_out, 10)
+    assert load_pretrained_weights("A", base_dir="/nonexistent") is None
 
 RNG = np.random.RandomState(11)
 

@@ -155,6 +155,8 @@ class VerifyAccumulator:
                 partials.append(gens.h_msm.msm(
                     jnp.asarray(host_digits([h_coeff]))))
 
+        if not partials:
+            return True          # every equation cancelled identically
         total = partials[0]
         for p in partials[1:]:
             total = R.padd(total, p)

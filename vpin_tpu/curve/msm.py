@@ -143,12 +143,18 @@ def _msm_kernel(group, n_pad: int, n_rows: int):
     return jax.jit(functools.partial(_msm_body, group))
 
 
+#: bound on (rows * n_pad) per kernel call — the per-window gather
+#: materializes that many points plus add temporaries
+MSM_CHUNK_ELEMS = 1 << 19
+
+
 def msm_digits(group, table, digits: jnp.ndarray):
     """MSM via a prebuilt digit table.
 
     digits: (rows, n, 32) or (n, 32) int32; n is padded up to the table
     width with zero digits (digit 0 -> identity row of the table).
-    Rows shard over the active mesh (parallel/ops.py) when one is set.
+    Rows shard over the active mesh (parallel/ops.py) when one is set,
+    and stream in chunks so HBM peaks stay bounded.
     Returns PointE of shape (rows,) (or scalar shape for 2-D digits)."""
     squeeze = digits.ndim == 2
     if squeeze:
@@ -161,7 +167,21 @@ def msm_digits(group, table, digits: jnp.ndarray):
     from ..parallel.ops import sharded_msm_digits
     out = sharded_msm_digits(group, table, digits)
     if out is None:
-        out = _msm_kernel(group, n_pad, rows)(table, digits)
+        rows_per = max(1, MSM_CHUNK_ELEMS // n_pad)
+        rp = 1
+        while rp * 2 <= rows_per:
+            rp *= 2
+        if rows <= rp:
+            out = _msm_kernel(group, n_pad, rows)(table, digits)
+        else:
+            chunks = []
+            for lo in range(0, rows, rp):
+                hi = min(lo + rp, rows)
+                chunks.append(_msm_kernel(group, n_pad, hi - lo)(
+                    table, digits[lo:hi]))
+            cls = type(table)
+            out = cls(*(jnp.concatenate([c[i] for c in chunks], axis=0)
+                        for i in range(len(chunks[0]))))
     return type(table)(*(c[0] for c in out)) if squeeze else out
 
 

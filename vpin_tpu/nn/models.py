@@ -90,6 +90,34 @@ def make_random_weights(fc1_in: int, fc1_out: int, fc2_out: int = 10,
     }
 
 
+def load_pretrained_weights(version: str = None, lenet: bool = False,
+                            base_dir: str = None) -> Optional[Dict]:
+    """Load the reference's pretrained .npy weights at runtime
+    (reference MODEL_PATHS, src/cnn_networks/Server.py:34-60 and
+    LeNet/Server.py:867-870).  base_dir defaults to $VPIN_REFERENCE;
+    returns None when the files are unavailable (callers fall back to
+    random weights)."""
+    import os
+    base_dir = base_dir or os.environ.get("VPIN_REFERENCE", "/root/reference")
+    if lenet:
+        d = os.path.join(base_dir, "src", "LeNet", "Pre_trained_model")
+        names = {"weight_fc1": "weight_fc1_120_84.npy",
+                 "bias_fc1": "bias_fc1_84.npy",
+                 "weight_fc2": "weight_fc2_84_10.npy",
+                 "bias_fc2": "bias_fc2_10.npy"}
+    else:
+        fc1_in, fc1_out, _, _ = CNN_CONFIGS[version]
+        d = os.path.join(base_dir, "src", "cnn_networks", "Pre_trained_model")
+        names = {"weight_fc1": f"weight_fc1_{fc1_in}_{fc1_out}.npy",
+                 "bias_fc1": f"bias_fc1_{fc1_out}.npy",
+                 "weight_fc2": f"weight_fc2_{fc1_out}_10.npy",
+                 "bias_fc2": "bias_fc2_10.npy"}
+    try:
+        return {k: np.load(os.path.join(d, v)) for k, v in names.items()}
+    except (OSError, ValueError):
+        return None
+
+
 def _interact(ct: CipherTensor, key: KeyPair, table: BsgsTable,
               relu: bool, shift_bits: Optional[int],
               rng: random.Random, max_steps=None) -> CipherTensor:
@@ -132,7 +160,8 @@ def run_cnn_workload(version: str, image: np.ndarray, key: KeyPair,
     """CNN A-E (reference src/cnn_networks/Server.py inferenceCNN)."""
     rng = rng or random.Random()
     fc1_in, fc1_out, k, s = CNN_CONFIGS[version]
-    weights = weights or make_random_weights(fc1_in, fc1_out)
+    weights = (weights or load_pretrained_weights(version)
+               or make_random_weights(fc1_in, fc1_out))
     t0 = time.time()
 
     scaled = fixed_point.min_max_scaling(image)
@@ -184,7 +213,8 @@ def run_lenet_workload(image: np.ndarray, key: KeyPair, table: BsgsTable,
     conv/interaction loops, sparse connection table, per-layer witness
     slices L1..L7."""
     rng = rng or random.Random()
-    weights = weights or make_random_weights(120, 84)
+    weights = (weights or load_pretrained_weights(lenet=True)
+               or make_random_weights(120, 84))
     nk1, nk2, nk3 = num_kernels
     k, s = pool
     t0 = time.time()

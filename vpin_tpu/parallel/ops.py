@@ -42,10 +42,24 @@ def _shardable(n: int, min_per_dev: int = 1) -> bool:
 
 @functools.lru_cache(maxsize=32)
 def _msm_row_kernel(mesh, group, n_pad: int, rows: int):
-    from ..curve.msm import _msm_body
+    from ..curve.msm import MSM_CHUNK_ELEMS, _msm_body
 
-    def local(table, digits):
-        return _msm_body(group, table, digits)      # (rows/nd,) points
+    nd = mesh.shape[AXIS]
+    local_rows = rows // nd
+    rp = max(1, MSM_CHUNK_ELEMS // n_pad)
+    while rp > 1 and local_rows % rp:
+        rp //= 2
+
+    def local(table, digits):                       # digits (local, n, 32)
+        if local_rows <= rp:
+            return _msm_body(group, table, digits)
+        resh = digits.reshape(local_rows // rp, rp, n_pad, 32)
+
+        def body(carry, d):
+            return carry, _msm_body(group, table, d)
+
+        _, outs = jax.lax.scan(body, 0, resh)       # (chunks, rp) points
+        return type(table)(*(c.reshape(local_rows, 16) for c in outs))
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -70,10 +84,27 @@ def sharded_msm_digits(group, table, digits):
 
 @functools.lru_cache(maxsize=128)
 def _round_kernel(mesh, partial_fn, n_tables: int, n2: int):
+    from ..sumcheck.sumcheck import ROUND_CHUNK
+
+    nd = mesh.shape[AXIS]
+    local_n = n2 // nd
+    n_evals = 2 if n_tables == 2 else 3
+
     def local(*resh):                               # each (2, n2/nd, 16)
         los = tuple(t[0] for t in resh)
         his = tuple(t[1] for t in resh)
-        evs = partial_fn(los, his)                  # tuple of (16,) partials
+        if local_n <= ROUND_CHUNK:
+            evs = partial_fn(los, his)              # tuple of (16,) partials
+        else:
+            k = local_n // ROUND_CHUNK
+            ch = tuple(t.reshape(k, ROUND_CHUNK, 16) for t in los + his)
+
+            def body(carry, xs):
+                e = partial_fn(xs[:n_tables], xs[n_tables:])
+                return tuple(FQ.add(c, v) for c, v in zip(carry, e)), None
+
+            init = tuple(FQ.zeros(()) for _ in range(n_evals))
+            evs, _ = jax.lax.scan(body, init, ch)
         return jnp.stack(evs, axis=0)[None]         # (1, nev, 16)
 
     fn = jax.shard_map(

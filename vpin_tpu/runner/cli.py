@@ -137,6 +137,31 @@ def cmd_client_conv(args):
     print(f"Client: server reported {result}")
 
 
+def cmd_mult_scale(args):
+    """Synthetic point-mult proof at scale (feasibility demo for the
+    LeNet-L5 path; reference point_mult.rs:61-62)."""
+    import random as _random
+    from ..curve.host_ec import E2_G_HOST, E2_ORDER
+    from .proof_runner import prove_point_mult
+
+    rng = _random.Random(args.seed)
+    n = args.mults
+    print(f"Generating {n} random point-mults (n=128-bit scalars)...")
+    t0 = time.time()
+    scalars = [rng.randrange(1, 1 << 128) for _ in range(n)]
+    base = rng.randrange(1, E2_ORDER) * E2_G_HOST
+    # distinct base points via cheap doubling chain on the host
+    px, py = [], []
+    P = base
+    for _ in range(n):
+        px.append(P.x)
+        py.append(P.y)
+        P = P + P
+    print(f"trace ready in {time.time()-t0:.1f} s")
+    prove_point_mult(scalars, px, py, tape_seed=args.seed,
+                     full_snark=not args.transparent)
+
+
 def cmd_bsgs(args):
     from ..nn.bsgs import BsgsTable
     t0 = time.time()
@@ -203,6 +228,12 @@ def main(argv=None):
     c.add_argument("--size", type=int, default=32)
     c.add_argument("--seed", type=int, default=0)
     c.set_defaults(fn=cmd_client_conv)
+
+    c = sub.add_parser("mult-scale", help="synthetic point-mult proof at scale")
+    c.add_argument("--mults", type=int, default=1000)
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--transparent", action="store_true")
+    c.set_defaults(fn=cmd_mult_scale)
 
     c = sub.add_parser("bsgs", help="build the BSGS decryption table (E1)")
     c.add_argument("--m", type=int, default=3_200_000)

@@ -130,20 +130,33 @@ class SparseMat:
 
     # -- bucketed reductions --------------------------------------------
 
+    #: bound on idx-elements per kernel (the 16x16 limb-product temporary
+    #: costs ~1 KB per element; 2^20 elements ~ 1 GB peak)
+    REDUCE_CHUNK_ELEMS = 1 << 20
+
     def _reduce_buckets(self, buckets, table_dev, out_len: int):
-        """sum_k val * table[idx] per segment, scattered into (out_len,)."""
+        """sum_k val * table[idx] per segment, scattered into (out_len,);
+        big buckets stream in segment chunks to bound HBM peaks."""
         from ..parallel.ops import sharded_regular_reduce
         book = self._book_mont()
         out = FQ.zeros((out_len,))
         for segs, idx, code in buckets:
-            vals_dev = book[jnp.asarray(code)]
-            idx_dev = jnp.asarray(idx)
-            part = sharded_regular_reduce(vals_dev, idx_dev, table_dev,
-                                          idx.shape[0])
-            if part is None:
-                part = _regular_reduce(vals_dev, idx_dev, table_dev,
-                                       idx.shape[0])
-            out = out.at[jnp.asarray(segs)].set(part)
+            m, k = idx.shape
+            rows_per = max(1, self.REDUCE_CHUNK_ELEMS // max(k, 1))
+            # round the chunk to a power of two so kernels are shared
+            rp = 1
+            while rp * 2 <= rows_per:
+                rp *= 2
+            for lo in range(0, m, rp):
+                hi = min(lo + rp, m)
+                vals_dev = book[jnp.asarray(code[lo:hi])]
+                idx_dev = jnp.asarray(idx[lo:hi])
+                part = sharded_regular_reduce(vals_dev, idx_dev, table_dev,
+                                              hi - lo)
+                if part is None:
+                    part = _regular_reduce(vals_dev, idx_dev, table_dev,
+                                           hi - lo)
+                out = out.at[jnp.asarray(segs[lo:hi])].set(part)
         return out
 
     def multiply_vec(self, num_cols: int, z_dev: jnp.ndarray) -> jnp.ndarray:

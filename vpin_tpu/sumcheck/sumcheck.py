@@ -129,12 +129,28 @@ def _cubic_partials(los, his):
     return (e0, e2, e3)
 
 
+ROUND_CHUNK = 1 << 17   # elements per streamed chunk (bounds HBM peaks)
+
+
 def _jit_rounds(partial_fn, n_tables):
     def run(*tables):
         n = tables[0].shape[0] // 2
         los = tuple(t[:n] for t in tables)
         his = tuple(t[n:] for t in tables)
-        return partial_fn(los, his)
+        if n <= ROUND_CHUNK:
+            return partial_fn(los, his)
+        # stream the half-tables in chunks; partial sums combine mod l
+        k = n // ROUND_CHUNK
+        resh = tuple(t.reshape(k, ROUND_CHUNK, 16) for t in los + his)
+
+        def body(carry, xs):
+            evs = partial_fn(xs[:n_tables], xs[n_tables:])
+            return tuple(FQ.add(c, e) for c, e in zip(carry, evs)), None
+
+        n_evals = 2 if n_tables == 2 else 3
+        init = tuple(FQ.zeros(()) for _ in range(n_evals))
+        out, _ = jax.lax.scan(body, init, resh)
+        return out
     return jax.jit(run)
 
 
