@@ -20,8 +20,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# NOTE: the persistent compilation cache (jax_compilation_cache_dir) is
-# deliberately NOT enabled: this jaxlib's executable serializer segfaults
-# (put_executable_and_time) on some of our kernels.  Shape-canonicalizing
-# padded ops (curve/padded.py) keep the in-process compile count low
-# instead.
+# Persistent compilation cache: cold kernel compiles amortize across
+# processes/runs (see vpin_tpu/utils/compile_cache.py).  The round-2
+# serializer crash no longer reproduces after the kernel-zoo shrink;
+# opt out with VPIN_COMPILE_CACHE=0 if a machine misbehaves.
+from vpin_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

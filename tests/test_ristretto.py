@@ -39,7 +39,6 @@ def test_small_multiples():
         assert encs[k].hex() == h, k
 
 
-@pytest.mark.slow
 def test_decode_roundtrip_and_group_law():
     B = RPoint.basepoint()
     twoB = B + B
@@ -72,7 +71,6 @@ def test_one_way_map_consistency():
     assert R.encode_bytes(pts2) == encs
 
 
-@pytest.mark.slow
 def test_pedersen_gens_and_homomorphism():
     from vpin_tpu.commit import MultiCommitGens, commit_vec_ints, commit_scalar
     gens = MultiCommitGens.new(4, b"test-gens")
@@ -80,13 +78,40 @@ def test_pedersen_gens_and_homomorphism():
     g1a, g1b = gens.split_at(2)
     assert g1a.n == 2 and g1b.n == 2
 
-    c1 = RPoint(commit_vec_ints([1, 2, 3, 4], 7, gens))
-    c2 = RPoint(commit_vec_ints([5, 5, 5, 5], 3, gens))
-    c3 = RPoint(commit_vec_ints([6, 7, 8, 9], 10, gens))
+    c1 = commit_vec_ints([1, 2, 3, 4], 7, gens)
+    c2 = commit_vec_ints([5, 5, 5, 5], 3, gens)
+    c3 = commit_vec_ints([6, 7, 8, 9], 10, gens)
     assert (c1 + c2) == c3  # additively homomorphic
 
     gens1 = MultiCommitGens.new(1, b"g1")
-    a = RPoint(commit_scalar(11, 13, gens1))
-    b = RPoint(commit_scalar(2, 1, gens1))
-    c = RPoint(commit_scalar(13, 14, gens1))
+    a = commit_scalar(11, 13, gens1)
+    b = commit_scalar(2, 1, gens1)
+    c = commit_scalar(13, 14, gens1)
     assert (a + b) == c
+
+
+def test_host_device_cross_check():
+    """Host ristretto (curve/host_ristretto.py) matches the device group
+    bit-for-bit on encode / add / scalar-mul / elligator."""
+    from vpin_tpu.curve import host_ristretto as H
+    B = H.basepoint()
+    bits = scalars_to_bits(list(range(4)), 4)
+    B4 = R.basepoint((4,))
+    dev = R.encode_bytes(R.pscalar_mul_bits(B4, bits))
+    host = [(B.mul(k)).encode() for k in range(4)]
+    assert host == dev
+
+    chunks = [bytes([i]) * 64 for i in range(4)]
+    dev_map = R.encode_bytes(R.from_uniform_bytes(chunks))
+    host_map = [H.from_uniform_bytes(c).encode() for c in chunks]
+    assert host_map == dev_map
+
+    # msm cross-check
+    pts = [B.mul(i + 1) for i in range(6)]
+    sc = [7 * i + 3 for i in range(6)]
+    expect = H.identity()
+    for s_, p_ in zip(sc, pts):
+        expect = expect + p_.mul(s_)
+    assert H.msm(sc, pts).eq(expect)
+    assert H._pippenger8(sc, pts).eq(expect)
+    assert H._straus4(sc, pts).eq(expect)

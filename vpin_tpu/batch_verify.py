@@ -2,7 +2,7 @@
 
 The reference verifier interleaves transcript replay with hundreds of
 small group operations (per-round MSMs, decompressions, equality
-checks).  On TPU each such op is a device dispatch, so we restructure:
+checks).  We restructure:
 
   * transcript replay stays host-side (keccak C core) and drives the
     challenge stream exactly as the reference does;
@@ -11,29 +11,27 @@ checks).  On TPU each such op is a device dispatch, so we restructure:
   * at the end, all equations are combined with verifier-private random
     weights rho_j (standard batch-verification: if any single equation
     fails, the combined equation fails except with probability ~2^-253)
-    and checked with ONE batched decompression + a handful of table MSMs.
+    and checked with ONE MSM — host Straus/Pippenger below HOST_MSM_MAX
+    points, device windowed tables above (curve/msm.py).
 
 Equation terms reference points three ways:
-  (s, bytes)            -- a compressed proof point (batch-decoded once)
+  (s, bytes)            -- a compressed proof point (decoded once)
   (s, (gens, i))        -- generator i of a MultiCommitGens (i = -1: h)
   (s, RPoint)           -- an already-decoded point
-
-This reduces verification from O(rounds * ops) dispatches to
-O(rounds) transcript-commitment fusions + ~6 batched device calls.
 """
 
 from __future__ import annotations
 
 import secrets
-from typing import List, Sequence, Tuple, Union
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
 
-from .field.prime_field import FQ, L_MODULUS as L
-from .curve.ristretto import RISTRETTO, PointE
-from .curve.rpoint import RPoint
-from .curve.msm import host_digits, msm_oneshot
+from .field.prime_field import L_MODULUS as L
+from .curve import host_ristretto as H
+from .curve.rpoint import HOST_MSM_MAX, RPoint
+from .curve.ristretto import RISTRETTO
 
 R = RISTRETTO
 
@@ -58,33 +56,11 @@ def neg_terms(terms: Sequence[Term]) -> List[Term]:
     return [((L - s) % L, ref) for s, ref in terms]
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=16)
-def _combine_kernel(k: int):
-    import jax
-    from .curve.weierstrass import scalars_to_bits  # noqa: F401
-
-    def run(pts, bits):
-        return R.encode(R.sum_points(R.scalar_mul_bits(pts, bits), axis=0))
-
-    return jax.jit(run)
-
-
 def combine_compress(points: Sequence[RPoint], scalars: Sequence[int]) -> bytes:
-    """Materialize sum_i s_i * P_i as compressed bytes in ONE fused device
-    call (used for verifier-computed points that must enter the
-    transcript, e.g. per-round claim combinations)."""
-    from .curve.rpoint import rpoint_stack
-    from .curve.weierstrass import scalars_to_bits
-    k = len(points)
-    stack = rpoint_stack(points)
-    bits = jnp.asarray(np.asarray(
-        scalars_to_bits([s % L for s in scalars], 253)))
-    limbs = np.asarray(_combine_kernel(k)(stack, bits))
-    v = sum(int(limbs[i]) << (16 * i) for i in range(16))
-    return v.to_bytes(32, "little")
+    """Materialize sum_i s_i * P_i as compressed bytes (used for
+    verifier-computed points that must enter the transcript, e.g.
+    per-round claim combinations — always a handful of points)."""
+    return H.msm([s % L for s in scalars], [p.h for p in points]).encode()
 
 
 class VerifyAccumulator:
@@ -123,41 +99,30 @@ class VerifyAccumulator:
                     d = gens_coeff.setdefault(id(gens), (gens, {}))[1]
                     d[idx] = (d.get(idx, 0) + c) % L
 
-        partials: List[PointE] = []
-
-        # 1. compressed proof points: one batched decode + one-shot MSM
-        items = [(b, c) for b, c in byte_coeff.items() if c]
-        if items:
-            pts = R.decode_bytes([b for b, _ in items])
-            partials.append(msm_oneshot(
-                R, pts, jnp.asarray(host_digits([c for _, c in items]))))
-
-        # 2. already-decoded points
-        if pt_terms:
-            from .curve.rpoint import rpoint_stack
-            stack = rpoint_stack([p for _, p in pt_terms])
-            partials.append(msm_oneshot(
-                R, stack, jnp.asarray(host_digits([c for c, _ in pt_terms]))))
-
-        # 3. generator vectors: cached digit tables
+        # flatten everything into one (scalars, host points) MSM;
+        # compressed proof points decode exactly once
+        scalars: List[int] = []
+        points: List[H.HPoint] = []
+        for b, c in byte_coeff.items():
+            if c:
+                scalars.append(c)
+                points.append(H.decode(b))
+        for c, p in pt_terms:
+            scalars.append(c)
+            points.append(p.h)
         for gens, d in gens_coeff.values():
-            coeffs = np.zeros((gens.n,), dtype=object)
-            h_coeff = 0
             for idx, c in d.items():
-                if idx == -1:
-                    h_coeff = c
-                else:
-                    coeffs[idx] = c
-            if np.any(coeffs != 0):
-                partials.append(gens.G_msm.msm(
-                    jnp.asarray(host_digits(list(coeffs)))))
-            if h_coeff:
-                partials.append(gens.h_msm.msm(
-                    jnp.asarray(host_digits([h_coeff]))))
+                if not c:
+                    continue
+                scalars.append(c)
+                points.append(gens.hh if idx == -1 else gens.Gh[idx])
 
-        if not partials:
+        if not points:
             return True          # every equation cancelled identically
-        total = partials[0]
-        for p in partials[1:]:
-            total = R.padd(total, p)
+        if len(points) <= HOST_MSM_MAX:
+            return H.msm(scalars, points).is_identity()
+        from .curve.msm import host_digits, msm_oneshot
+        from .curve.rpoint import pointe_from_host
+        stack = pointe_from_host(points)
+        total = msm_oneshot(R, stack, jnp.asarray(host_digits(scalars)))
         return bool(np.asarray(R.peq(total, R.identity(()))))

@@ -1,40 +1,50 @@
-"""Pedersen commitments over ristretto255, batched on TPU.
+"""Pedersen commitments over ristretto255 — hybrid host/device backend.
 
 Mirrors Spartan's commitments.rs exactly:
   * MultiCommitGens::new derives n+1 generators from
     SHAKE256(label || compressed ristretto basepoint) via the one-way map
-    (reference: Spartan/src/commitments.rs:20-38);
+    (reference: Spartan/src/commitments.rs:20-38) — derivation runs on
+    the HOST (curve/host_ristretto.py), it is tiny and serial;
   * commit = MSM(scalars, G) + blind * h (commitments.rs:74-98);
   * the Hyrax row-commit (DensePolynomial::commit_inner,
-    dense_mlpoly.rs:160-191) batches all rows into ONE windowed-table
-    MSM kernel — the rayon `par_iter` of the reference is replaced by
-    device batching (and sharded across a mesh by parallel/hyrax.py).
+    dense_mlpoly.rs:160-191): the rayon `par_iter` of the reference
+    becomes device batching + mesh sharding for big witnesses, and plain
+    host MSMs for small ones.
 
-All MSMs run through curve/msm.py's windowed digit tables.  Generator
-vectors are fixed per (label, n), so their tables are built once and
-amortize across every commitment of a proof (~16x fewer group ops than
-the former 253-round ladder).
+Backend policy (the TPU-first split): the serial protocol spine — round
+commitments over 2-5 points, generator derivation — is host integer
+arithmetic; table-scale MSMs (big Hyrax rows, SPARK commitments) run on
+the device through curve/msm.py windowed digit tables, sharded over the
+active mesh.  The crossover is HOST_MSM_MAX / HOST_WORK_MAX.
 """
 
 from __future__ import annotations
 
 import functools
 import hashlib
-from typing import List, Tuple
+import os
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..field.prime_field import FQ, int_to_limbs
+from ..curve import host_ristretto as H
+from ..curve.host_ristretto import HPoint
 from ..curve.ristretto import (
     RISTRETTO, PointE, RISTRETTO_BASEPOINT_COMPRESSED,
 )
+from ..curve.rpoint import HOST_MSM_MAX, RPoint, pointe_from_host
 from ..curve.msm import FixedBaseMSM, host_digits, limbs_to_digits, msm_oneshot
 
 R = RISTRETTO
 
 _ONE_PLAIN = jnp.asarray(int_to_limbs(1))
+
+#: total point-ops bound (rows * width) under which Hyrax row commits run
+#: on the host instead of the device
+HOST_WORK_MAX = int(os.environ.get("VPIN_HOST_WORK_MAX", "16384"))
 
 
 @jax.jit
@@ -45,12 +55,15 @@ def digits_from_mont(scalars_mont: jnp.ndarray) -> jnp.ndarray:
 
 
 class MultiCommitGens:
-    """n generators + blinding generator h."""
+    """n generators + blinding generator h.  Host points are primary;
+    device views (G / h PointE, MSM digit tables) build lazily."""
 
-    def __init__(self, n: int, G: PointE, h: PointE):
+    def __init__(self, n: int, Gh: List[HPoint], hh: HPoint):
         self.n = n
-        self.G = G          # (n,) batch
-        self.h = h          # () single
+        self.Gh = Gh                    # host generators, len n
+        self.hh = hh                    # host blinding generator
+        self._G_dev = None
+        self._h_dev = None
         self._G_msm = None
         self._h_msm = None
 
@@ -61,11 +74,23 @@ class MultiCommitGens:
         shake.update(label)
         shake.update(RISTRETTO_BASEPOINT_COMPRESSED)
         stream = shake.digest(64 * (n + 1))
-        chunks = [stream[64 * i: 64 * (i + 1)] for i in range(n + 1)]
-        pts = R.from_uniform_bytes(chunks)
-        G = PointE(*(c[:n] for c in pts))
-        h = PointE(*(c[n] for c in pts))
-        return MultiCommitGens(n, G, h)
+        pts = [H.from_uniform_bytes(stream[64 * i: 64 * (i + 1)])
+               for i in range(n + 1)]
+        return MultiCommitGens(n, pts[:n], pts[n])
+
+    # -- device views ----------------------------------------------------
+
+    @property
+    def G(self) -> PointE:
+        if self._G_dev is None:
+            self._G_dev = pointe_from_host(self.Gh)
+        return self._G_dev
+
+    @property
+    def h(self) -> PointE:
+        if self._h_dev is None:
+            self._h_dev = pointe_from_host([self.hh], squeeze=True)
+        return self._h_dev
 
     @property
     def G_msm(self) -> FixedBaseMSM:
@@ -79,64 +104,93 @@ class MultiCommitGens:
             self._h_msm = FixedBaseMSM(R, PointE(*(c[None] for c in self.h)))
         return self._h_msm
 
+    @property
+    def Gh_msm(self) -> FixedBaseMSM:
+        """Fused [G..., h] table: Hyrax rows commit in ONE MSM kernel."""
+        if getattr(self, "_Gh_msm", None) is None:
+            self._Gh_msm = FixedBaseMSM(
+                R, pointe_from_host(self.Gh + [self.hh]))
+        return self._Gh_msm
+
+    # -- host views --------------------------------------------------------
+
+    def G_point(self, i: int) -> RPoint:
+        return RPoint(self.Gh[i])
+
+    @property
+    def h_point(self) -> RPoint:
+        return RPoint(self.hh)
+
     def split_at(self, mid: int) -> Tuple["MultiCommitGens", "MultiCommitGens"]:
-        g1 = PointE(*(c[:mid] for c in self.G))
-        g2 = PointE(*(c[mid:] for c in self.G))
-        return (MultiCommitGens(mid, g1, self.h),
-                MultiCommitGens(self.n - mid, g2, self.h))
+        return (MultiCommitGens(mid, self.Gh[:mid], self.hh),
+                MultiCommitGens(self.n - mid, self.Gh[mid:], self.hh))
 
     def scale(self, s: int) -> "MultiCommitGens":
-        from ..curve.weierstrass import scalars_to_bits
-        bits = scalars_to_bits([s % FQ.modulus] * self.n, 253)
-        return MultiCommitGens(self.n, R.pscalar_mul_bits(self.G, bits), self.h)
+        s = int(s) % FQ.modulus
+        return MultiCommitGens(self.n, [g.mul(s) for g in self.Gh], self.hh)
 
 
-def _blind_term(blind: int, gens: MultiCommitGens) -> PointE:
-    return gens.h_msm.msm(jnp.asarray(host_digits([blind])))
-
-
-def commit_scalar(x: int, blind: int, gens: MultiCommitGens) -> PointE:
+def commit_scalar(x: int, blind: int, gens: MultiCommitGens) -> RPoint:
     """x*G[0] + blind*h for single host scalars."""
     assert gens.n == 1
-    dig = jnp.asarray(host_digits([x, blind]))           # (2, 32)
-    xg = gens.G_msm.msm(dig[:1])
-    hb = gens.h_msm.msm(dig[1:])
-    return R.padd(xg, hb)
+    return RPoint(H.msm([int(x), int(blind)], [gens.Gh[0], gens.hh]))
+
+
+def commit_vec_ints(scalars: List[int], blind: int,
+                    gens: MultiCommitGens) -> RPoint:
+    """<scalars, G> + blind*h over host scalars."""
+    n = len(scalars)
+    assert gens.n == n
+    if n <= HOST_MSM_MAX:
+        return RPoint(H.msm([int(s) for s in scalars] + [int(blind)],
+                            gens.Gh + [gens.hh]))
+    msm = gens.G_msm.msm(jnp.asarray(host_digits(scalars)))
+    if blind % FQ.modulus:
+        msm = R.padd(msm, gens.h_msm.msm(jnp.asarray(host_digits([blind]))))
+    return RPoint.from_dev(msm)
 
 
 def commit_vec_dev(scalars_mont: jnp.ndarray, blind: int,
                    gens: MultiCommitGens) -> PointE:
-    """MSM(scalars, G) + blind*h; scalars are a device FQ vector (n, 16)."""
+    """MSM(scalars, G) + blind*h; scalars are a device FQ vector (n, 16).
+    Device path — used by table-scale callers."""
     n = scalars_mont.shape[0]
     assert gens.n == n, (gens.n, n)
     msm = gens.G_msm.msm(digits_from_mont(scalars_mont))
     if blind % FQ.modulus == 0:
         return msm
-    return R.padd(msm, _blind_term(blind, gens))
+    hb = gens.h_msm.msm(jnp.asarray(host_digits([blind])))
+    return R.padd(msm, hb)
 
 
-def commit_vec_ints(scalars: List[int], blind: int, gens: MultiCommitGens) -> PointE:
-    msm = gens.G_msm.msm(jnp.asarray(host_digits(scalars)))
-    if blind % FQ.modulus == 0:
-        return msm
-    return R.padd(msm, _blind_term(blind, gens))
+def hyrax_commit_host(Z_ints: Sequence[int], blinds: List[int],
+                      gens_n: MultiCommitGens) -> List[HPoint]:
+    """Row commitments over host scalars (small witnesses)."""
+    Lr = len(blinds)
+    n = len(Z_ints)
+    Rsz = n // Lr
+    assert Lr * Rsz == n and gens_n.n == Rsz
+    pts = gens_n.Gh + [gens_n.hh]
+    return [H.msm([int(v) for v in Z_ints[i * Rsz:(i + 1) * Rsz]]
+                  + [int(blinds[i])], pts)
+            for i in range(Lr)]
 
 
 def hyrax_commit(Z_mont: jnp.ndarray, blinds: List[int],
                  gens_n: MultiCommitGens) -> PointE:
     """Row commitments of Z viewed as an (L, R) matrix: one table-MSM per
-    row, all rows batched into a single kernel (reference commit_inner)."""
+    row, all rows batched into a single device kernel (reference
+    commit_inner) and sharded over the active mesh."""
     Lr = len(blinds)
     n = Z_mont.shape[0]
     Rsz = n // Lr
     assert Lr * Rsz == n and gens_n.n == Rsz
     digits = digits_from_mont(Z_mont).reshape(Lr, Rsz, 32)
-    rows = gens_n.G_msm.msm(digits)                       # (L,)
-    hb = gens_n.h_msm.msm(jnp.asarray(host_digits(blinds))[:, None, :])  # (L,)
-    return R.padd(rows, hb)
+    bdig = jnp.asarray(host_digits(blinds))[:, None, :]   # (L, 1, 32)
+    return gens_n.Gh_msm.msm(jnp.concatenate([digits, bdig], axis=1))
 
 
-def msm_points(scalars: List[int], points: PointE) -> PointE:
-    """Generic host-scalar MSM over a (n,) point batch (vartime MSM
+def msm_points(scalars: List[int], points) -> PointE:
+    """Generic host-scalar MSM over a device (n,) point batch (vartime MSM
     equivalent, reference group.rs:103-122); one-shot windowed table."""
     return msm_oneshot(R, points, jnp.asarray(host_digits(scalars)))

@@ -94,16 +94,13 @@ def build_table(group, P, n_pad: Optional[int] = None):
 
 
 def _fold_sum(group, Q):
-    """Tree-sum a point batch over its LAST batch axis (power-of-two)."""
-    n = Q.x.shape[-2]
-    cls = type(Q)
-    while n > 1:
-        half = n // 2
-        lo = cls(*(c[..., :half, :] for c in Q))
-        hi = cls(*(c[..., half:, :] for c in Q))
-        Q = group.add(lo, hi)
-        n = half
-    return cls(*(c[..., 0, :] for c in Q))
+    """Tree-sum a point batch over its SECOND batch axis (power-of-two),
+    shape-stable: one add inside a lax.scan over log2(n) strides (keeps
+    the traced graph — and hence XLA compile time — tiny)."""
+    n = Q.x.shape[1]
+    if n == 1:
+        return type(Q)(*(c[:, 0] for c in Q))
+    return group.sum_points(Q, axis=1)
 
 
 def _msm_body(group, table, digits):
@@ -112,6 +109,9 @@ def _msm_body(group, table, digits):
     table:  (2^c, n_pad) PointE
     digits: (rows, n_pad, 32) int32  (LSB-first windows)
     -> (rows,) PointE
+
+    Graph size is O(1) group adds: the window fold, the Horner doubling
+    chain and the window scan are all lax loops over fixed-shape bodies.
     """
     cls = type(table)
     n_pad = table.x.shape[1]
@@ -128,9 +128,11 @@ def _msm_body(group, table, digits):
     # Horner over windows, MSB first: acc = 2^c * acc + Q_w
     rev = cls(*(c[::-1] for c in Qw))
 
+    def dbl(acc, _):
+        return group.add(acc, acc), None
+
     def horner(acc, q):
-        for _ in range(WINDOW_BITS):
-            acc = group.add(acc, acc)
+        acc, _ = jax.lax.scan(dbl, acc, None, length=WINDOW_BITS)
         return group.add(acc, q), None
 
     acc0 = group.identity((n_rows,))

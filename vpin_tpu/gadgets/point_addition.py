@@ -162,6 +162,32 @@ def point_addition_gadget(add_px: List[int], add_py: List[int],
     if device is None:
         device = num_vars > DEVICE_WITNESS_THRESHOLD
 
+    from ..poly.dense import host_tables_wanted
+    if not device and host_tables_wanted(num_vars):
+        # host witness: the affine-chord formulas in Python ints
+        vars_full: List[int] = []
+        for i in range(n):
+            px_, py_ = add_px[i] % L, add_py[i] % L
+            rx_, ry_ = add_rx[i] % L, add_ry[i] % L
+            rz_ = int(add_rz[i])
+            c = pow((rx_ - px_) % L, -1, L)
+            s1 = (ry_ - py_) * c % L
+            s2 = s1 * s1 % L
+            t1 = (s2 - px_ - rx_) * (1 - rz_) % L
+            t2 = px_ * rz_ % L
+            x3 = (t1 + t2) % L
+            s3 = s1 * (px_ - x3) % L
+            t3 = (s3 - py_) * (1 - rz_) % L
+            t4 = py_ * rz_ % L
+            y3 = (t3 + t4) % L
+            vars_full += [c, rx_, px_, ry_, py_, rz_, s1, s2, s3,
+                          t1, t2, t3, t4, x3, y3]
+        vars_full.append(0)
+        inputs: List[int] = []
+        assert inst.is_sat(vars_full, inputs), "point-add gadget unsatisfied"
+        return (inst, [0] * num_vars, list(vars_full), vars_full, inputs,
+                num_cons, num_vars, num_inputs, nnz_param(n))
+
     px = FQ.to_mont(add_px)
     py = FQ.to_mont(add_py)
     rx = FQ.to_mont(add_rx)

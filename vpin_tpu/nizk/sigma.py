@@ -3,7 +3,9 @@ DotProduct / DotProductLog) plus the Bulletproofs inner-product reduction.
 
 Transcript labels and group equations replicate the reference exactly
 (Spartan/src/nizk/mod.rs:17-584, nizk/bullet.rs:16-243); scalars are host
-ints mod l, group ops run through the batched device kernels via RPoint.
+ints mod l, small point handfuls run as host integer arithmetic via RPoint
+(curve/host_ristretto.py); the bullet generator folds switch to the
+batched device kernels above BulletReductionProof.HOST_MAX generators.
 """
 
 from __future__ import annotations
@@ -23,13 +25,13 @@ from ..batch_verify import (
 
 
 def commit1(x: int, blind: int, gens: MultiCommitGens) -> RPoint:
-    """x*G[0] + blind*h (gens.n == 1)."""
-    return RPoint(commit_scalar(x, blind, gens))
+    """x*G[0] + blind*h (gens.n == 1); host-int arithmetic."""
+    return commit_scalar(x, blind, gens)
 
 
 def commitN(xs: Sequence[int], blind: int, gens: MultiCommitGens) -> RPoint:
     """<xs, G> + blind*h (gens.n == len(xs))."""
-    return RPoint(commit_vec_ints(list(xs), blind, gens))
+    return commit_vec_ints(list(xs), blind, gens)
 
 
 def append_scalars_vector(t: Transcript, label: bytes, v: Sequence[int]) -> None:
@@ -105,7 +107,7 @@ class EqualityProof:
         transcript.append_point(b"C1", C1)
         C2 = commit1(v2, s2, gens_1).compress()
         transcript.append_point(b"C2", C2)
-        alpha = RPoint(gens_1.h).mul(r).compress()
+        alpha = gens_1.h_point.mul(r).compress()
         transcript.append_point(b"alpha", alpha)
         c = transcript.challenge_scalar(b"c")
         z = (c * (s1 - s2) + r) % L
@@ -162,7 +164,7 @@ class ProductProof:
         transcript.append_point(b"beta", beta)
         # delta = b3*X + b5*h
         Xp = RPoint.decompress(X)
-        delta = (Xp.mul(b3) + RPoint(gens_1.h).mul(b5)).compress()
+        delta = (Xp.mul(b3) + gens_1.h_point.mul(b5)).compress()
         transcript.append_point(b"delta", delta)
         c = transcript.challenge_scalar(b"c")
         z1 = (b1 + c * x) % L
@@ -276,14 +278,73 @@ class BulletReductionProof:
     L_vec: List[bytes]
     R_vec: List[bytes]
 
+    #: above this many generators the round folds run on the device
+    HOST_MAX = 256
+
     @staticmethod
-    def prove(transcript, Q: RPoint, G_pts, H: RPoint,
+    def prove(transcript, Q: RPoint, gens_n, H: RPoint,
               a_vec: Sequence[int], b_vec: Sequence[int], blind: int,
               blinds_vec: Sequence[Tuple[int, int]]):
-        """G_pts: stacked PointE batch of the n generators.  The per-round
-        L/R cross-terms are one-shot table MSMs; the generator fold
-        u_inv*G_L + u*G_R runs as two batched scalar-mults (not n separate
-        2-point MSMs).  Matches bullet.rs:32-132 on the transcript."""
+        """gens_n: MultiCommitGens holding the n generators.  Small n runs
+        entirely on host ints; large n folds the generator vector on the
+        device (u_inv*G_L + u*G_R as two batched scalar-mults) with the
+        L/R cross-terms as one-shot table MSMs.  Matches bullet.rs:32-132
+        on the transcript."""
+        a = [x % L for x in a_vec]
+        b = [x % L for x in b_vec]
+        n = gens_n.n
+        assert n & (n - 1) == 0
+        lg_n = n.bit_length() - 1
+        assert len(blinds_vec) == 2 * lg_n
+
+        if n <= BulletReductionProof.HOST_MAX:
+            return BulletReductionProof._prove_host(
+                transcript, Q, gens_n.Gh, H, a, b, blind, blinds_vec)
+        return BulletReductionProof._prove_dev(
+            transcript, Q, gens_n.G, H, a, b, blind, blinds_vec)
+
+    @staticmethod
+    def _prove_host(transcript, Q, G_list, H_pt, a, b, blind, blinds_vec):
+        from ..curve import host_ristretto as hr
+        n = len(G_list)
+        L_out, R_out = [], []
+        blind_fin = blind % L
+        bi = iter(blinds_vec)
+        G = list(G_list)
+
+        while n != 1:
+            n //= 2
+            a_Lh, a_R = a[:n], a[n:]
+            b_Lh, b_R = b[:n], b[n:]
+            G_L, G_R = G[:n], G[n:]
+
+            c_L = dot_ints(a_Lh, b_R)
+            c_R = dot_ints(a_R, b_Lh)
+            blind_L, blind_R = next(bi)
+
+            Lc = hr.msm(a_Lh + [c_L, blind_L], G_R + [Q.h, H_pt.h]).encode()
+            Rc = hr.msm(a_R + [c_R, blind_R], G_L + [Q.h, H_pt.h]).encode()
+            transcript.append_point(b"L", Lc)
+            transcript.append_point(b"R", Rc)
+            u = transcript.challenge_scalar(b"u")
+            u_inv = pow(u, -1, L)
+
+            a = [(a_Lh[i] * u + u_inv * a_R[i]) % L for i in range(n)]
+            b = [(b_Lh[i] * u_inv + u * b_R[i]) % L for i in range(n)]
+            G = [hr.msm([u_inv, u], [G_L[i], G_R[i]]) for i in range(n)]
+
+            blind_fin = (blind_fin + blind_L * u * u + blind_R * u_inv * u_inv) % L
+            L_out.append(Lc)
+            R_out.append(Rc)
+
+        g_fin = RPoint(G[0])
+        Gamma_hat = msm_host([a[0], a[0] * b[0] % L, blind_fin],
+                             [g_fin, Q, H_pt])
+        return (BulletReductionProof(L_out, R_out), Gamma_hat,
+                a[0], b[0], g_fin, blind_fin)
+
+    @staticmethod
+    def _prove_dev(transcript, Q, G_pts, H_pt, a, b, blind, blinds_vec):
         import numpy as np
         import jax.numpy as jnp
         from ..curve.ristretto import RISTRETTO, PointE
@@ -291,21 +352,16 @@ class BulletReductionProof:
         from ..commit.pedersen import msm_points
         Rg = RISTRETTO
 
-        a = [x % L for x in a_vec]
-        b = [x % L for x in b_vec]
         n = G_pts.x.shape[0]
-        assert n & (n - 1) == 0
-        lg_n = n.bit_length() - 1
-        assert len(blinds_vec) == 2 * lg_n
-
         L_out, R_out = [], []
         blind_fin = blind % L
         bi = iter(blinds_vec)
         G = G_pts
+        Qp, Hp = Q.p, H_pt.p
 
         def _with_QH(half):
             return PointE(*(jnp.concatenate([c, q[None], h[None]], axis=0)
-                            for c, q, h in zip(half, Q.p, H.p)))
+                            for c, q, h in zip(half, Qp, Hp)))
 
         while n != 1:
             n //= 2
@@ -318,8 +374,8 @@ class BulletReductionProof:
             c_R = dot_ints(a_R, b_Lh)
             blind_L, blind_R = next(bi)
 
-            Lp = RPoint(msm_points(a_Lh + [c_L, blind_L], _with_QH(G_R)))
-            Rp = RPoint(msm_points(a_R + [c_R, blind_R], _with_QH(G_L)))
+            Lp = RPoint.from_dev(msm_points(a_Lh + [c_L, blind_L], _with_QH(G_R)))
+            Rp = RPoint.from_dev(msm_points(a_R + [c_R, blind_R], _with_QH(G_L)))
             Lc, Rc = Lp.compress(), Rp.compress()
             transcript.append_point(b"L", Lc)
             transcript.append_point(b"R", Rc)
@@ -336,8 +392,9 @@ class BulletReductionProof:
             L_out.append(Lc)
             R_out.append(Rc)
 
-        g_fin = RPoint(PointE(*(c[0] for c in G)))
-        Gamma_hat = msm_host([a[0], a[0] * b[0] % L, blind_fin], [g_fin, Q, H])
+        g_fin = RPoint.from_dev(PointE(*(c[0] for c in G)))
+        Gamma_hat = msm_host([a[0], a[0] * b[0] % L, blind_fin],
+                             [g_fin, Q, H_pt])
         return (BulletReductionProof(L_out, R_out), Gamma_hat,
                 a[0], b[0], g_fin, blind_fin)
 
@@ -416,13 +473,13 @@ class DotProductProofLog:
         append_scalars_vector(transcript, b"a", a_vec)
 
         r = transcript.challenge_scalar(b"r")
-        gens_1_scaled_G = RPoint(PointE_first(gens.gens_1.G)).mul(r)
-        h = RPoint(gens.gens_1.h)
+        gens_1_scaled_G = gens.gens_1.G_point(0).mul(r)
+        h = gens.gens_1.h_point
 
         blind_Gamma = (blind_x + r * blind_y) % L
         bullet, Gamma_hat, x_hat, a_hat, g_hat, rhat_Gamma = \
             BulletReductionProof.prove(transcript, gens_1_scaled_G,
-                                       gens.gens_n.G, h,
+                                       gens.gens_n, h,
                                        x_vec, a_vec, blind_Gamma, blinds_vec)
         y_hat = x_hat * a_hat % L
 
@@ -494,9 +551,9 @@ def _terms_to_points_scalars(terms):
             gens, idx = ref
             from ..curve.ristretto import PointE
             if idx == -1:
-                pts.append(RPoint(gens.h))
+                pts.append(gens.h_point)
             else:
-                pts.append(RPoint(PointE(*(c[idx] for c in gens.G))))
+                pts.append(gens.G_point(idx))
         ss.append(s % L)
     return pts, ss
 
@@ -507,8 +564,7 @@ def PointE_first(G):
 
 
 def gens_G_list(gens_n: MultiCommitGens) -> List[RPoint]:
-    from ..curve.ristretto import PointE
-    return [RPoint(PointE(*(c[i] for c in gens_n.G))) for i in range(gens_n.n)]
+    return [gens_n.G_point(i) for i in range(gens_n.n)]
 
 
 class DotProductProofGens:

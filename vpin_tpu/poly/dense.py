@@ -1,25 +1,47 @@
-"""Dense multilinear polynomials as device-resident scalar vectors.
+"""Dense multilinear polynomials — hybrid host/device eval tables.
 
 TPU-native counterpart of Spartan's DensePolynomial / EqPolynomial
-(reference: Spartan/src/dense_mlpoly.rs:17-255):
-  * eval tables live as FQ limb arrays (n, 16) in Montgomery form;
-  * bound_poly_var_top is one fused vector op per sumcheck round;
-  * eq-polynomial tables build as an L x R outer product of two
-    half-tables (equivalent to the reference's doubling construction,
-    dense_mlpoly.rs:78-94, but shape-stable for XLA).
-Scalar values entering/leaving the device are exact host ints.
+(reference: Spartan/src/dense_mlpoly.rs:17-255), with a size-based
+backend split:
+
+  * LARGE tables (> HOST_POLY_MAX, or whenever a device mesh is active)
+    live as FQ limb arrays (n, 16) in Montgomery form on the device;
+    bound_poly_var_top is one fused vector op per sumcheck round, sharded
+    over the mesh (parallel/ops.py).
+  * SMALL tables live as host int lists.  A sumcheck round over a
+    64-entry table is a few hundred modmuls — host integers beat a
+    device dispatch (and its per-shape XLA compile) by orders of
+    magnitude.  This mirrors how the protocol spine (transcript, sigma
+    NIZKs) is host-side: tiny serial work stays on the CPU, bulk work
+    goes to the TPU.
+
+Both backends produce bit-identical protocol values (everything is exact
+arithmetic mod l); tests cross-check them.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+import os
+from typing import List, Sequence, Union
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..field.prime_field import FQ, L_MODULUS
+
+#: tables at or below this length use host int lists; 0 forces device
+HOST_POLY_MAX = int(os.environ.get("VPIN_HOST_POLY_MAX", "8192"))
+
+
+def host_tables_wanted(n: int) -> bool:
+    """Host backend for a table of length n?  Device wins when a mesh is
+    active (so sharded kernels are exercised) or the table is large."""
+    if n > HOST_POLY_MAX:
+        return False
+    from ..parallel.mesh import get_mesh
+    return get_mesh() is None
 
 
 def ints_to_dev(vals: Sequence[int]) -> jnp.ndarray:
@@ -59,7 +81,7 @@ def _bit_product_evals(r_dev, n_bits: int):
 
 
 def eq_evals(r: Sequence[int]) -> jnp.ndarray:
-    """Full 2^ell eq table as an outer product of two half tables."""
+    """Full 2^ell eq table as an outer product of two half tables (device)."""
     ell = len(r)
     if ell == 0:
         return FQ.ones((1,))
@@ -70,6 +92,21 @@ def eq_evals(r: Sequence[int]) -> jnp.ndarray:
     R = _bit_product_evals(ints_to_dev(r[half:]), ell - half)
     outer = FQ.mul(L[:, None, :], R[None, :, :])
     return outer.reshape(-1, 16)
+
+
+def eq_evals_host(r: Sequence[int]) -> List[int]:
+    """Full 2^ell eq table as host ints (doubling construction,
+    reference dense_mlpoly.rs:78-94)."""
+    evals = [1]
+    for rj in r:
+        rj = int(rj) % L_MODULUS
+        nxt = []
+        for v in evals:
+            hi = v * rj % L_MODULUS
+            nxt.append((v - hi) % L_MODULUS)
+            nxt.append(hi)
+        evals = nxt
+    return evals
 
 
 def eq_eval_single(r: Sequence[int], rx: Sequence[int]) -> int:
@@ -97,30 +134,65 @@ def _dot(a, b):
 
 
 class DensePoly:
-    """Mutable dense multilinear polynomial over FQ (device)."""
+    """Mutable dense multilinear polynomial over FQ.
 
-    def __init__(self, Z: jnp.ndarray):
-        assert Z.ndim == 2 and Z.shape[-1] == 16
-        n = Z.shape[0]
-        assert n & (n - 1) == 0, "length must be a power of two"
-        self.Z = Z
+    Backed by either a device Montgomery limb array (``Z``) or a host int
+    list (``Zh``); exactly one is non-None.
+    """
+
+    def __init__(self, Z: Union[jnp.ndarray, List[int]]):
+        if isinstance(Z, list):
+            n = len(Z)
+            assert n & (n - 1) == 0, "length must be a power of two"
+            self.Zh: List[int] = Z
+            self.Z = None
+        else:
+            assert Z.ndim == 2 and Z.shape[-1] == 16
+            n = Z.shape[0]
+            assert n & (n - 1) == 0, "length must be a power of two"
+            self.Z = Z
+            self.Zh = None
+
+    @property
+    def is_host(self) -> bool:
+        return self.Zh is not None
 
     @staticmethod
     def from_ints(vals: Sequence[int]) -> "DensePoly":
+        vals = [int(v) % L_MODULUS for v in vals]
+        if host_tables_wanted(len(vals)):
+            return DensePoly(vals)
         return DensePoly(ints_to_dev(vals))
+
+    def to_dev(self) -> "DensePoly":
+        if self.is_host:
+            return DensePoly(ints_to_dev(self.Zh))
+        return self
+
+    def to_host(self) -> "DensePoly":
+        if self.is_host:
+            return self
+        return DensePoly(dev_to_ints(self.Z))
 
     @property
     def len(self) -> int:
-        return self.Z.shape[0]
+        return len(self.Zh) if self.is_host else self.Z.shape[0]
 
     @property
     def num_vars(self) -> int:
         return int(self.len).bit_length() - 1
 
     def clone(self) -> "DensePoly":
-        return DensePoly(self.Z)
+        return DensePoly(list(self.Zh) if self.is_host else self.Z)
 
     def bound_poly_var_top(self, r: int) -> None:
+        if self.is_host:
+            Zh = self.Zh
+            n = len(Zh) // 2
+            r = int(r) % L_MODULUS
+            self.Zh = [(Zh[i] + r * (Zh[n + i] - Zh[i])) % L_MODULUS
+                       for i in range(n)]
+            return
         r_dev = FQ.to_mont([r])
         from ..parallel.ops import sharded_bound_top
         out = sharded_bound_top(self.Z, r_dev[0])
@@ -128,16 +200,27 @@ class DensePoly:
 
     def evaluate(self, r: Sequence[int]) -> int:
         assert len(r) == self.num_vars
+        if self.is_host:
+            chis = eq_evals_host(r)
+            return sum(v * c for v, c in zip(self.Zh, chis)) % L_MODULUS
         chis = eq_evals(r)
         return int(FQ.from_mont(_dot(self.Z, chis)))
 
-    def bound_L(self, L_dev: jnp.ndarray) -> jnp.ndarray:
+    def bound_L(self, L_vec) -> Union[jnp.ndarray, List[int]]:
         """L^T Z viewed as an (L_size x R_size) matrix -> (R_size,) vector
-        (reference DensePolynomial::bound)."""
+        (reference DensePolynomial::bound).  Host polys take a host int
+        list and return one; device polys take a device vector."""
         lnv, rnv = factored_lens(self.num_vars)
         L_size, R_size = 1 << lnv, 1 << rnv
+        if self.is_host:
+            Zh = self.Zh
+            return [sum(int(L_vec[i]) * Zh[i * R_size + j]
+                        for i in range(L_size)) % L_MODULUS
+                    for j in range(R_size)]
         M = self.Z.reshape(L_size, R_size, 16)
-        return FQ.sum_reduce(FQ.mul(L_dev[:, None, :], M), axis=0)
+        return FQ.sum_reduce(FQ.mul(L_vec[:, None, :], M), axis=0)
 
     def index(self, i: int) -> int:
+        if self.is_host:
+            return self.Zh[i]
         return int(FQ.from_mont(self.Z[i]))

@@ -107,7 +107,7 @@ def _assignment_poly(vals, n: int) -> DensePoly:
     padded = pad_assignment(vals, n)
     if isinstance(padded, jnp.ndarray):
         return DensePoly(padded)
-    return DensePoly(ints_to_dev(padded))
+    return DensePoly.from_ints(padded)
 
 
 def cp_commit_witness(vars_para, vars_input,
@@ -126,13 +126,11 @@ def cp_commit_witness(vars_para, vars_input,
     comm_vars, blind_vars = combined_commit(
         poly_vars, gens.gens_r1cs_sat.gens_pc, blind_para, blind_input)
 
-    # homomorphism sanity check (proof_point_add.rs:69-78), batched
-    from ..curve.ristretto import RISTRETTO, PointE
-    n_rows = len(comm_para.C)
-    pts = RISTRETTO.decode_bytes(list(comm_para.C) + list(comm_input.C))
-    pa = PointE(*(c[:n_rows] for c in pts))
-    pi = PointE(*(c[n_rows:] for c in pts))
-    combined_rows = RISTRETTO.encode_bytes(RISTRETTO.padd(pa, pi))
+    # homomorphism sanity check (proof_point_add.rs:69-78), host ints
+    from ..curve import host_ristretto as _hr
+    pa = [_hr.decode(b) for b in comm_para.C]
+    pi = [_hr.decode(b) for b in comm_input.C]
+    combined_rows = [(a + b).encode() for a, b in zip(pa, pi)]
     assert combined_rows == list(comm_vars.C), "commit homomorphism"
 
     return (poly_vars, comm_vars, blind_vars, comm_para, comm_input)

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..field.prime_field import FQ, L_MODULUS as L
-from ..poly.dense import DensePoly, eq_evals, ints_to_dev
+from ..poly.dense import (DensePoly, eq_evals, eq_evals_host,
+                          host_tables_wanted, ints_to_dev)
 
 
 def _next_pow2(n: int) -> int:
@@ -174,6 +175,33 @@ class SparseMat:
                                                self.codes, num_cols)
         return self._reduce_buckets(self._col_buckets, evals_rx_dev, num_cols)
 
+    # -- host paths (small instances: protocol-spine arithmetic) ---------
+
+    def multiply_vec_host(self, z: List[int]) -> List[int]:
+        cb = self.codebook
+        out = [0] * self.num_rows
+        for r, c, k in zip(self.rows.tolist(), self.cols.tolist(),
+                           self.codes.tolist()):
+            out[r] += cb[k] * z[c]
+        return [v % L for v in out]
+
+    def compute_eval_table_host(self, evals_rx: List[int],
+                                num_cols: int) -> List[int]:
+        cb = self.codebook
+        out = [0] * num_cols
+        for r, c, k in zip(self.rows.tolist(), self.cols.tolist(),
+                           self.codes.tolist()):
+            out[c] += cb[k] * evals_rx[r]
+        return [v % L for v in out]
+
+    def evaluate_host(self, eq_rx: List[int], eq_ry: List[int]) -> int:
+        cb = self.codebook
+        total = 0
+        for r, c, k in zip(self.rows.tolist(), self.cols.tolist(),
+                           self.codes.tolist()):
+            total += cb[k] * eq_rx[r] % L * eq_ry[c]
+        return total % L
+
     # -- evaluation -------------------------------------------------------
 
     def evaluate(self, eq_rx_dev: jnp.ndarray, eq_ry_dev: jnp.ndarray,
@@ -219,16 +247,25 @@ class R1CSInstance:
         self.num_cons = num_cons_padded
         self.num_vars = num_vars_padded
         self.num_inputs = num_inputs
+        self.total_nnz = 0
         ncols = 2 * num_vars_padded
         self.A = SparseMat(shift(A), num_cons_padded, ncols)
         self.B = SparseMat(shift(B), num_cons_padded, ncols)
         self.C = SparseMat(shift(C), num_cons_padded, ncols)
+        self.total_nnz = self.A.nnz + self.B.nnz + self.C.nnz
+
+    @property
+    def host_mode(self) -> bool:
+        """Small instances run the sat-proof table math on host ints."""
+        return (host_tables_wanted(max(self.num_cons, 2 * self.num_vars))
+                and self.total_nnz <= (1 << 17))
 
     # ------------------------------------------------------------------
 
-    def build_z(self, vars_ints, inputs: Sequence[int]) -> jnp.ndarray:
-        """z = vars || 1 || inputs || 0-pad, length 2*num_vars (device).
-        vars_ints: host int list OR a Montgomery device array (n, 16)."""
+    def build_z(self, vars_ints, inputs: Sequence[int]):
+        """z = vars || 1 || inputs || 0-pad, length 2*num_vars.
+        vars_ints: host int list OR a Montgomery device array (n, 16).
+        Returns a host int list in host mode, a device array otherwise."""
         if isinstance(vars_ints, jnp.ndarray):
             assert vars_ints.shape[0] == self.num_vars
             tail = ints_to_dev([1] + list(inputs))
@@ -236,15 +273,22 @@ class R1CSInstance:
                             - len(inputs),))
             return jnp.concatenate([vars_ints, tail, pad], axis=0)
         assert len(vars_ints) == self.num_vars
-        z = list(vars_ints) + [1] + list(inputs)
+        z = [int(v) % L for v in vars_ints] + [1] + \
+            [int(v) % L for v in inputs]
         z += [0] * (2 * self.num_vars - len(z))
+        if self.host_mode:
+            return z
         return ints_to_dev(z)
 
-    def multiply_vec(self, z_dev) -> Tuple[DensePoly, DensePoly, DensePoly]:
+    def multiply_vec(self, z) -> Tuple[DensePoly, DensePoly, DensePoly]:
+        if isinstance(z, list):
+            return (DensePoly(self.A.multiply_vec_host(z)),
+                    DensePoly(self.B.multiply_vec_host(z)),
+                    DensePoly(self.C.multiply_vec_host(z)))
         ncols = 2 * self.num_vars
-        return (DensePoly(self.A.multiply_vec(ncols, z_dev)),
-                DensePoly(self.B.multiply_vec(ncols, z_dev)),
-                DensePoly(self.C.multiply_vec(ncols, z_dev)))
+        return (DensePoly(self.A.multiply_vec(ncols, z)),
+                DensePoly(self.B.multiply_vec(ncols, z)),
+                DensePoly(self.C.multiply_vec(ncols, z)))
 
     def is_sat(self, vars_ints, inputs: Sequence[int]) -> bool:
         if isinstance(vars_ints, jnp.ndarray):
@@ -255,16 +299,29 @@ class R1CSInstance:
                 [0] * (self.num_vars - len(vars_ints))
             z = self.build_z(vars_padded, inputs)
         Az, Bz, Cz = self.multiply_vec(z)
+        if Az.is_host:
+            return all(a * b % L == c
+                       for a, b, c in zip(Az.Zh, Bz.Zh, Cz.Zh))
         lhs = FQ.mul(Az.Z, Bz.Z)
         return bool(np.asarray(FQ.eq(lhs, Cz.Z)).all())
 
-    def compute_eval_table_sparse(self, evals_rx_dev):
+    def compute_eval_table_sparse(self, evals_rx):
         ncols = 2 * self.num_vars
-        return (self.A.compute_eval_table(evals_rx_dev, ncols),
-                self.B.compute_eval_table(evals_rx_dev, ncols),
-                self.C.compute_eval_table(evals_rx_dev, ncols))
+        if isinstance(evals_rx, list):
+            return (self.A.compute_eval_table_host(evals_rx, ncols),
+                    self.B.compute_eval_table_host(evals_rx, ncols),
+                    self.C.compute_eval_table_host(evals_rx, ncols))
+        return (self.A.compute_eval_table(evals_rx, ncols),
+                self.B.compute_eval_table(evals_rx, ncols),
+                self.C.compute_eval_table(evals_rx, ncols))
 
     def evaluate(self, rx: Sequence[int], ry: Sequence[int]):
+        if self.host_mode:
+            eq_rx = eq_evals_host(rx)
+            eq_ry = eq_evals_host(ry)
+            return (self.A.evaluate_host(eq_rx, eq_ry),
+                    self.B.evaluate_host(eq_rx, eq_ry),
+                    self.C.evaluate_host(eq_rx, eq_ry))
         eq_rx = eq_evals(rx)
         eq_ry = eq_evals(ry)
         return (self.A.evaluate(eq_rx, eq_ry),

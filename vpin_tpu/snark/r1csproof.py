@@ -85,6 +85,17 @@ class PolyCommitment:
         return VEC_LEN_PREFIX + 32 * len(self.C)
 
 
+def _hyrax_rows(poly: DensePoly, blinds: List[int], gens_n) -> List[bytes]:
+    """Hyrax row commitments -> compressed bytes; host ints for small
+    polys, batched device MSM (mesh-sharded) for large ones."""
+    if poly.is_host:
+        from ..commit.pedersen import hyrax_commit_host
+        return [q.encode() for q in
+                hyrax_commit_host(poly.Zh, blinds, gens_n)]
+    rows = hyrax_commit(poly.Z, blinds, gens_n)
+    return RISTRETTO.encode_bytes(rows)
+
+
 def poly_commit(poly: DensePoly, gens_pc: PolyCommitmentGens,
                 tape: Optional[RandomTape]) -> Tuple[PolyCommitment, List[int]]:
     """DensePolynomial::commit (dense_mlpoly.rs:193-218)."""
@@ -93,8 +104,7 @@ def poly_commit(poly: DensePoly, gens_pc: PolyCommitmentGens,
     L_size = 1 << lnv
     blinds = (tape.random_vector(b"poly_blinds", L_size) if tape is not None
               else [0] * L_size)
-    rows = hyrax_commit(poly.Z, blinds, gens_pc.gens.gens_n)
-    return PolyCommitment(RISTRETTO.encode_bytes(rows)), blinds
+    return PolyCommitment(_hyrax_rows(poly, blinds, gens_pc.gens.gens_n)), blinds
 
 
 def combined_commit(poly: DensePoly, gens_pc: PolyCommitmentGens,
@@ -103,8 +113,7 @@ def combined_commit(poly: DensePoly, gens_pc: PolyCommitmentGens,
     C(w) == C(w_para) * C(w_input) homomorphically
     (reference: commit_test.rs:27-57)."""
     blinds = [(a + b) % L for a, b in zip(blind_1, blind_2)]
-    rows = hyrax_commit(poly.Z, blinds, gens_pc.gens.gens_n)
-    return PolyCommitment(RISTRETTO.encode_bytes(rows)), blinds
+    return PolyCommitment(_hyrax_rows(poly, blinds, gens_pc.gens.gens_n)), blinds
 
 
 # ----------------------------------------------------------------------
@@ -131,7 +140,10 @@ class PolyEvalProof:
         L_vec = [x % L for x in _eq_half(r[:lnv])]
         R_vec = [x % L for x in _eq_half(r[lnv:])]
 
-        LZ = dev_to_ints(poly.bound_L(ints_to_dev(L_vec)))
+        if poly.is_host:
+            LZ = poly.bound_L(L_vec)
+        else:
+            LZ = dev_to_ints(poly.bound_L(ints_to_dev(L_vec)))
         LZ_blind = sum(blinds[i] * L_vec[i] for i in range(L_size)) % L
 
         proof, _, C_Zr_prime = DotProductProofLog.prove(
@@ -153,9 +165,9 @@ class PolyEvalProof:
         lnv, rnv = factored_lens(len(r))
         L_vec = _eq_half(r[:lnv])
         R_vec = _eq_half(r[lnv:])
-        # C_LZ enters the transcript (as Cx): one batched decode + MSM
-        C_pts = RISTRETTO.decode_bytes(list(comm.C))
-        C_LZ = RPoint(msm_points(L_vec, C_pts)).compress()
+        # C_LZ enters the transcript (as Cx)
+        C_pts = decompress_many(list(comm.C))
+        C_LZ = msm_host(L_vec, C_pts).compress()
         ok = self.proof.verify(len(R_vec), gens.gens, transcript,
                                R_vec, C_LZ, C_Zr, acc=acc)
         if not ok:
@@ -169,8 +181,8 @@ class PolyEvalProof:
 
 @functools.lru_cache(maxsize=None)
 def _eq_half_cached(r_tuple):
-    from ..poly.dense import eq_evals as ev
-    return dev_to_ints(ev(list(r_tuple)))
+    from ..poly.dense import eq_evals_host
+    return eq_evals_host(list(r_tuple))
 
 
 def _eq_half(r: Sequence[int]) -> List[int]:
@@ -239,8 +251,8 @@ def r1cs_prove_stock(inst: R1CSInstance, vars_ints: List[int],
     assert len(inputs) < _alen(vars_ints)
     from ..nizk.sigma import append_scalars_vector
     append_scalars_vector(transcript, b"input", inputs)
-    poly_vars = DensePoly(vars_ints if isinstance(vars_ints, jnp.ndarray)
-                          else ints_to_dev(vars_ints))
+    poly_vars = (DensePoly(vars_ints) if isinstance(vars_ints, jnp.ndarray)
+                 else DensePoly.from_ints(vars_ints))
     comm_vars, blinds_vars = poly_commit(poly_vars, gens.gens_pc, tape)
     comm_vars.append_to_transcript(b"poly_commitment", transcript)
     return _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
@@ -255,22 +267,27 @@ def _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
                      poly_vars, comm_vars, blinds_vars):
     from ..utils.timer import span
 
+    from ..poly.dense import eq_evals_host
+
     num_vars = _alen(vars_ints)
+    host = inst.host_mode and not isinstance(vars_ints, jnp.ndarray)
     if isinstance(vars_ints, jnp.ndarray):
         tail = ints_to_dev([1] + list(inputs))
         pad = FQ.zeros((num_vars - len(inputs) - 1,))
-        z_dev = jnp.concatenate([vars_ints, tail, pad], axis=0)
+        z = jnp.concatenate([vars_ints, tail, pad], axis=0)
     else:
-        z_ints = list(vars_ints) + [1] + list(inputs) + \
+        z_ints = [int(v) % L for v in vars_ints] + [1] + \
+            [int(v) % L for v in inputs] + \
             [0] * (num_vars - len(inputs) - 1)
-        z_dev = ints_to_dev(z_ints)
+        z = z_ints if host else ints_to_dev(z_ints)
 
     num_rounds_x = _log2(inst.num_cons)
     num_rounds_y = _log2(2 * num_vars)
     tau = transcript.challenge_vector(b"challenge_tau", num_rounds_x)
 
-    poly_tau = DensePoly(eq_evals(tau))
-    poly_Az, poly_Bz, poly_Cz = inst.multiply_vec(z_dev)
+    poly_tau = DensePoly(eq_evals_host(tau)) if host \
+        else DensePoly(eq_evals(tau))
+    poly_Az, poly_Bz, poly_Cz = inst.multiply_vec(z)
 
     with span("prove_sc_phase_one"):
         sc_proof_phase1, rx, claims_phase1, blind_claim_postsc1 = \
@@ -311,18 +328,27 @@ def _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
     claim_phase2 = (r_A * Az_claim + r_B * Bz_claim + r_C * Cz_claim) % L
     blind_claim_phase2 = (r_A * Az_blind + r_B * Bz_blind + r_C * Cz_blind) % L
 
-    evals_rx = eq_evals(rx)
-    evals_A, evals_B, evals_C = inst.compute_eval_table_sparse(evals_rx)
-    rA_d, rB_d, rC_d = (jnp.broadcast_to(FQ.to_mont([v]), evals_A.shape)
-                        for v in (r_A, r_B, r_C))
-    evals_ABC = FQ.add(FQ.add(FQ.mul(rA_d, evals_A), FQ.mul(rB_d, evals_B)),
-                       FQ.mul(rC_d, evals_C))
+    if host:
+        evals_rx = eq_evals_host(rx)
+        evals_A, evals_B, evals_C = inst.compute_eval_table_sparse(evals_rx)
+        evals_ABC = [(r_A * a + r_B * b + r_C * c) % L
+                     for a, b, c in zip(evals_A, evals_B, evals_C)]
+        poly_z2, poly_abc = DensePoly(z), DensePoly(evals_ABC)
+    else:
+        evals_rx = eq_evals(rx)
+        evals_A, evals_B, evals_C = inst.compute_eval_table_sparse(evals_rx)
+        rA_d, rB_d, rC_d = (jnp.broadcast_to(FQ.to_mont([v]), evals_A.shape)
+                            for v in (r_A, r_B, r_C))
+        evals_ABC = FQ.add(FQ.add(FQ.mul(rA_d, evals_A),
+                                  FQ.mul(rB_d, evals_B)),
+                           FQ.mul(rC_d, evals_C))
+        poly_z2, poly_abc = DensePoly(z), DensePoly(evals_ABC)
 
     with span("prove_sc_phase_two"):
         sc_proof_phase2, ry, claims_phase2_vals, blind_claim_postsc2 = \
             ZKSumcheckInstanceProof.prove_quad(
                 claim_phase2, blind_claim_phase2, num_rounds_y,
-                DensePoly(z_dev), DensePoly(evals_ABC),
+                poly_z2, poly_abc,
                 gens.gens_sc.gens_1, gens.gens_sc.gens_3, transcript, tape)
 
     eval_vars_at_ry = poly_vars.evaluate(ry[1:])
@@ -359,10 +385,10 @@ def r1cs_verify_cp(proof: R1CSProof, num_vars: int, num_cons: int,
 
     n_rows = len(comm_1.C)
     assert len(comm_2.C) == n_rows
-    pts = RISTRETTO.decode_bytes(list(comm_1.C) + list(comm_2.C))
-    a = PointE(*(c[:n_rows] for c in pts))
-    b = PointE(*(c[n_rows:] for c in pts))
-    combined = PolyCommitment(RISTRETTO.encode_bytes(RISTRETTO.padd(a, b)))
+    from ..curve import host_ristretto as _hr
+    a = [_hr.decode(bytes(x)) for x in comm_1.C]
+    b = [_hr.decode(bytes(x)) for x in comm_2.C]
+    combined = PolyCommitment([(p + q).encode() for p, q in zip(a, b)])
     combined.append_to_transcript(b"poly_commitment", transcript)
     return _r1cs_verify_core(proof, num_vars, num_cons, inputs, evals,
                              transcript, gens, combined, acc=acc)
@@ -461,8 +487,7 @@ def _r1cs_verify_core(proof, num_vars, num_cons, inputs, evals, transcript,
     scalar = (r_A * eval_A_r + r_B * eval_B_r + r_C * eval_C_r) % L
     g1 = gens.gens_pc.gens.gens_1
     expected_claim_post_phase2 = combine_compress(
-        [RPoint.decompress(proof.comm_vars_at_ry),
-         RPoint(PointE(*(c[0] for c in g1.G)))],
+        [RPoint.decompress(proof.comm_vars_at_ry), g1.G_point(0)],
         [(1 - ry[0]) * scalar % L, ry[0] * poly_input_eval * scalar % L])
     if not proof.proof_eq_sc_phase2.verify(
             g1, transcript,

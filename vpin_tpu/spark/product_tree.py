@@ -10,6 +10,7 @@ SumcheckInstanceProof::prove_cubic_batched bit-for-bit.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -18,7 +19,39 @@ import jax
 import jax.numpy as jnp
 
 from ..field.prime_field import FQ, L_MODULUS as L
-from ..poly.dense import eq_evals, ints_to_dev
+from ..poly.dense import eq_evals, eq_evals_host, ints_to_dev
+
+
+def _is_host(x) -> bool:
+    return isinstance(x, np.ndarray) and x.dtype == object
+
+
+def _layer_step_h(left, right):
+    prod = left * right % L
+    n = prod.shape[1] // 2
+    return prod[:, :n], prod[:, n:]
+
+
+def _round_evals_cubic_batched_h(A, B, C):
+    n = A.shape[1] // 2
+    halves = [(t[:, :n], t[:, n:]) for t in (A, B, C)]
+    los = [lo for lo, _ in halves]
+    e0 = (los[0] * los[1] % L * los[2]).sum(axis=1) % L
+    b2 = [(2 * hi - lo) % L for lo, hi in halves]
+    e2 = (b2[0] * b2[1] % L * b2[2]).sum(axis=1) % L
+    b3 = [(v + hi - lo) % L for v, (lo, hi) in zip(b2, halves)]
+    e3 = (b3[0] * b3[1] % L * b3[2]).sum(axis=1) % L
+    return e0, e2, e3
+
+
+def _bound_top_batched_h(Z, r: int):
+    n = Z.shape[1] // 2
+    lo, hi = Z[:, :n], Z[:, n:]
+    return (lo + r * (hi - lo)) % L
+
+
+def _ints_h(arr) -> List[int]:
+    return [int(v) % L for v in np.asarray(arr).reshape(-1)]
 from ..sumcheck.sumcheck import UniPoly
 from ..transcript.merlin import Transcript
 from ..utils.errors import verify_guard
@@ -62,25 +95,103 @@ def _ints(arr) -> List[int]:
     return [int(v) for v in FQ.from_mont(arr).reshape(-1)]
 
 
+# fixed-shape masked round kernels: `half` is a runtime scalar so ONE
+# compiled kernel serves every round of a layer (cf. sumcheck/sumcheck.py)
+_COMPACT_FACTOR = 16
+
+
+@functools.lru_cache(maxsize=None)
+def _masked_round3_kernel(K: int, n_phys: int):
+    def run(half, A, B, C):
+        idx = jnp.arange(n_phys)
+        m = (idx < half)[None, :, None]
+
+        def mlo(t):
+            return jnp.where(m, t, jnp.uint32(0))
+
+        def mhi(t):
+            return jnp.where(m, jnp.roll(t, -half, axis=1), jnp.uint32(0))
+
+        halves = [(mlo(t), mhi(t)) for t in (A, B, C)]
+
+        def comb(a, b, c):
+            return FQ.mul(FQ.mul(a, b), c)
+
+        e0 = FQ.sum_reduce(comb(*(lo for lo, _ in halves)), axis=1)
+        b2 = [FQ.sub(FQ.add(hi, hi), lo) for lo, hi in halves]
+        e2 = FQ.sum_reduce(comb(*b2), axis=1)
+        b3 = [FQ.add(v, FQ.sub(hi, lo)) for v, (lo, hi) in zip(b2, halves)]
+        e3 = FQ.sum_reduce(comb(*b3), axis=1)
+        return e0, e2, e3
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _masked_bind3_kernel(K: int, n_phys: int):
+    def run(half, r_mont, A, B, C):
+        idx = jnp.arange(n_phys)
+        m = (idx < half)[None, :, None]
+        outs = []
+        for t in (A, B, C):
+            hi = jnp.roll(t, -half, axis=1)
+            b = FQ.add(t, FQ.mul(jnp.broadcast_to(r_mont, t.shape),
+                                 FQ.sub(hi, t)))
+            outs.append(jnp.where(m, b, jnp.uint32(0)))
+        return tuple(outs)
+
+    return jax.jit(run)
+
+
+class _MaskedTriple:
+    """(A, B, C) stacked tables bound via fixed-shape masked kernels."""
+
+    def __init__(self, A, B, C):
+        self.t = (A, B, C)
+        self.live = A.shape[1]
+
+    def round_evals(self):
+        K, n_phys = self.t[0].shape[0], self.t[0].shape[1]
+        return _masked_round3_kernel(K, n_phys)(
+            jnp.int32(self.live // 2), *self.t)
+
+    def bind(self, r_mont):
+        K, n_phys = self.t[0].shape[0], self.t[0].shape[1]
+        self.t = _masked_bind3_kernel(K, n_phys)(
+            jnp.int32(self.live // 2), r_mont, *self.t)
+        self.live //= 2
+        if self.live >= 1 and self.live * _COMPACT_FACTOR <= n_phys:
+            self.t = tuple(x[:, :self.live] for x in self.t)
+
+    def heads(self):
+        return [t[:, 0] for t in self.t]
+
+
 class BatchedProductCircuits:
     """K product circuits over equal-length inputs, layers stacked."""
 
-    def __init__(self, inputs: jnp.ndarray):
-        """inputs: (K, n, 16) hashed leaf values, n a power of two."""
-        K, n, _ = inputs.shape
+    def __init__(self, inputs):
+        """inputs: (K, n, 16) device array OR (K, n) host object array of
+        hashed leaf values, n a power of two."""
+        self.host = _is_host(inputs)
+        K, n = inputs.shape[0], inputs.shape[1]
         self.K, self.n = K, n
-        self.left_layers: List[jnp.ndarray] = []
-        self.right_layers: List[jnp.ndarray] = []
+        self.left_layers: List = []
+        self.right_layers: List = []
         left, right = inputs[:, : n // 2], inputs[:, n // 2:]
         self.left_layers.append(left)
         self.right_layers.append(right)
         num_layers = n.bit_length() - 1
+        step = _layer_step_h if self.host else _layer_step
         for _ in range(num_layers - 1):
-            left, right = _layer_step(self.left_layers[-1], self.right_layers[-1])
+            left, right = step(self.left_layers[-1], self.right_layers[-1])
             self.left_layers.append(left)
             self.right_layers.append(right)
 
     def evaluate(self) -> List[int]:
+        if self.host:
+            return [int(l * r % L) for l, r in
+                    zip(self.left_layers[-1][:, 0], self.right_layers[-1][:, 0])]
         prod = FQ.mul(self.left_layers[-1][:, 0], self.right_layers[-1][:, 0])
         return _ints(prod)
 
@@ -88,11 +199,14 @@ class BatchedProductCircuits:
 @dataclass
 class BatchedDotProducts:
     """K2 dot-product circuits (left*right*weight summed), stacked."""
-    left: jnp.ndarray      # (K2, m, 16)
-    right: jnp.ndarray
-    weight: jnp.ndarray
+    left: object      # (K2, m, 16) device or (K2, m) host object array
+    right: object
+    weight: object
 
     def evaluate(self) -> List[int]:
+        if _is_host(self.left):
+            return [int(v) for v in
+                    (self.left * self.right % L * self.weight).sum(axis=1) % L]
         s = FQ.sum_reduce(FQ.mul(FQ.mul(self.left, self.right), self.weight),
                           axis=1)
         return _ints(s)
@@ -126,10 +240,16 @@ class ProductCircuitEvalProofBatched:
 
         # mutable working copies of the stacked layer tables
         for layer_id in reversed(range(num_layers)):
+            host = prod.host
             A = prod.left_layers[layer_id]
             B = prod.right_layers[layer_id]
             length = 2 * A.shape[1]
-            C_shared = eq_evals(rand)                   # (len/2, 16)
+            if host:
+                ch = eq_evals_host(rand)
+                C_shared = np.empty((len(ch),), dtype=object)
+                C_shared[:] = ch
+            else:
+                C_shared = eq_evals(rand)               # (len/2, 16)
             assert C_shared.shape[0] == length // 2
             num_rounds = (length // 2).bit_length() - 1
 
@@ -144,15 +264,31 @@ class ProductCircuitEvalProofBatched:
 
             polys: List[List[int]] = []
             r_prod: List[int] = []
-            Cb = jnp.broadcast_to(C_shared[None], A.shape)
+            if host:
+                Cb = np.broadcast_to(C_shared[None], A.shape)
+            else:
+                Cb = jnp.broadcast_to(C_shared[None], A.shape)
+                trip = _MaskedTriple(A, B, Cb)
+                seqt = (_MaskedTriple(seqA, seqB, seqC)
+                        if seq_active else None)
             for _ in range(num_rounds):
-                e0v, e2v, e3v = _round_evals_cubic_batched(A, B, Cb)
-                e0s, e2s, e3s = _ints(e0v), _ints(e2v), _ints(e3v)
-                if seq_active:
-                    f0, f2, f3 = _round_evals_cubic_batched(seqA, seqB, seqC)
-                    e0s += _ints(f0)
-                    e2s += _ints(f2)
-                    e3s += _ints(f3)
+                if host:
+                    e0v, e2v, e3v = _round_evals_cubic_batched_h(A, B, Cb)
+                    e0s, e2s, e3s = _ints_h(e0v), _ints_h(e2v), _ints_h(e3v)
+                    if seq_active:
+                        f0, f2, f3 = _round_evals_cubic_batched_h(
+                            seqA, seqB, seqC)
+                        e0s += _ints_h(f0)
+                        e2s += _ints_h(f2)
+                        e3s += _ints_h(f3)
+                else:
+                    e0v, e2v, e3v = trip.round_evals()
+                    e0s, e2s, e3s = _ints(e0v), _ints(e2v), _ints(e3v)
+                    if seq_active:
+                        f0, f2, f3 = seqt.round_evals()
+                        e0s += _ints(f0)
+                        e2s += _ints(f2)
+                        e3s += _ints(f3)
                 ec0 = sum(c * v for c, v in zip(coeffs, e0s)) % L
                 ec2 = sum(c * v for c, v in zip(coeffs, e2s)) % L
                 ec3 = sum(c * v for c, v in zip(coeffs, e3s)) % L
@@ -160,27 +296,43 @@ class ProductCircuitEvalProofBatched:
                 poly.append_to_transcript(b"poly", transcript)
                 r_j = transcript.challenge_scalar(b"challenge_nextround")
                 r_prod.append(r_j)
-                rdev = FQ.to_mont([r_j])
-                A = _bound_top_batched(A, rdev)
-                B = _bound_top_batched(B, rdev)
-                Cb = _bound_top_batched(Cb, rdev)
-                if seq_active:
-                    seqA = _bound_top_batched(seqA, rdev)
-                    seqB = _bound_top_batched(seqB, rdev)
-                    seqC = _bound_top_batched(seqC, rdev)
+                if host:
+                    A = _bound_top_batched_h(A, r_j)
+                    B = _bound_top_batched_h(B, r_j)
+                    Cb = _bound_top_batched_h(Cb, r_j)
+                    if seq_active:
+                        seqA = _bound_top_batched_h(seqA, r_j)
+                        seqB = _bound_top_batched_h(seqB, r_j)
+                        seqC = _bound_top_batched_h(seqC, r_j)
+                else:
+                    rdev = FQ.to_mont([r_j])[0]
+                    trip.bind(rdev)
+                    if seq_active:
+                        seqt.bind(rdev)
                 e = poly.evaluate(r_j)
                 polys.append(poly.compress())
 
-            claims_prod_left = _ints(A[:, 0])
-            claims_prod_right = _ints(B[:, 0])
+            if host:
+                claims_prod_left = _ints_h(A[:, 0])
+                claims_prod_right = _ints_h(B[:, 0])
+            else:
+                hA, hB, _ = trip.heads()
+                claims_prod_left = _ints(hA)
+                claims_prod_right = _ints(hB)
             for i in range(prod.K):
                 transcript.append_scalar(b"claim_prod_left", claims_prod_left[i])
                 transcript.append_scalar(b"claim_prod_right", claims_prod_right[i])
 
             if seq_active:
-                cl = _ints(seqA[:, 0])
-                cr = _ints(seqB[:, 0])
-                cw = _ints(seqC[:, 0])
+                if host:
+                    cl = _ints_h(seqA[:, 0])
+                    cr = _ints_h(seqB[:, 0])
+                    cw = _ints_h(seqC[:, 0])
+                else:
+                    hl, hr, hw = seqt.heads()
+                    cl = _ints(hl)
+                    cr = _ints(hr)
+                    cw = _ints(hw)
                 for i in range(dotp.k):
                     transcript.append_scalar(b"claim_dotp_left", cl[i])
                     transcript.append_scalar(b"claim_dotp_right", cr[i])

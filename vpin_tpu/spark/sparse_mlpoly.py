@@ -23,7 +23,20 @@ import jax
 import jax.numpy as jnp
 
 from ..field.prime_field import FQ, L_MODULUS as L
-from ..poly.dense import DensePoly, eq_evals, eq_eval_single, ints_to_dev, dev_to_ints
+from ..poly.dense import (DensePoly, eq_evals, eq_evals_host,
+                          eq_eval_single, host_tables_wanted, ints_to_dev,
+                          dev_to_ints)
+
+
+def _obj(vals) -> np.ndarray:
+    """Host int vector as a numpy object array (exact bignum lanes)."""
+    a = np.empty(len(vals), dtype=object)
+    a[:] = [int(v) % L for v in vals]
+    return a
+
+
+def _is_host_vec(x) -> bool:
+    return isinstance(x, np.ndarray) and x.dtype == object
 from ..transcript.merlin import Transcript, RandomTape
 from ..utils.errors import verify_guard
 from ..snark.r1csproof import PolyCommitmentGens, PolyCommitment, PolyEvalProof, poly_commit
@@ -73,8 +86,10 @@ class AddrTimestamps:
             np.add.at(audit, addr, 1)
         self.audit_ts = audit
 
-    def deref(self, mem_val_dev: jnp.ndarray) -> List[jnp.ndarray]:
-        return [mem_val_dev[jnp.asarray(addr)] for addr in self.ops_addr]
+    def deref(self, mem_val) -> list:
+        if _is_host_vec(mem_val):
+            return [mem_val[addr] for addr in self.ops_addr]
+        return [mem_val[jnp.asarray(addr)] for addr in self.ops_addr]
 
 
 class MultiSparseMatPolynomialAsDense:
@@ -87,7 +102,11 @@ class MultiSparseMatPolynomialAsDense:
         N = max(_next_pow2(m.nnz) for m in sparse_mats)
         self.N = N
 
-        ops_row, ops_col, val_dev = [], [], []
+        # host mode: comb_ops is 15*N entries — small instances keep the
+        # whole eval-proof pipeline in host integers (object arrays)
+        self.host = host_tables_wanted(_next_pow2(15 * N))
+
+        ops_row, ops_col, vals = [], [], []
         for m in sparse_mats:
             nnz = m.nnz
             row = np.zeros(N, dtype=np.int64)
@@ -98,28 +117,50 @@ class MultiSparseMatPolynomialAsDense:
             codes[:nnz] = m.codes
             ops_row.append(row)
             ops_col.append(col)
-            val_dev.append(m._book_mont()[jnp.asarray(codes)])
+            if self.host:
+                book = m.codebook
+                vals.append(_obj([book[int(k)] for k in codes]))
+            else:
+                vals.append(m._book_mont()[jnp.asarray(codes)])
 
         self.num_mem_cells = 1 << max(num_vars_x, num_vars_y)
         self.row = AddrTimestamps(self.num_mem_cells, N, ops_row)
         self.col = AddrTimestamps(self.num_mem_cells, N, ops_col)
-        self.val_dev = val_dev
+        self.val_dev = vals
 
         # comb_ops = merge(row.addr x3, row.read_ts x3, col.addr x3,
         #                  col.read_ts x3, val x3), zero-padded to pow2
-        parts = ([small_ints_to_dev(a) for a in self.row.ops_addr]
-                 + [small_ints_to_dev(t) for t in self.row.read_ts]
-                 + [small_ints_to_dev(a) for a in self.col.ops_addr]
-                 + [small_ints_to_dev(t) for t in self.col.read_ts]
-                 + list(self.val_dev))
-        total = sum(p.shape[0] for p in parts)
-        pad = _next_pow2(total) - total
-        chunks = parts + ([FQ.zeros((pad,))] if pad else [])
-        self.comb_ops = DensePoly(jnp.concatenate(chunks, axis=0))
-        mem = jnp.concatenate(
-            [small_ints_to_dev(self.row.audit_ts),
-             small_ints_to_dev(self.col.audit_ts)], axis=0)
-        self.comb_mem = DensePoly(mem)
+        if self.host:
+            flat: List[int] = []
+            for a in self.row.ops_addr:
+                flat += [int(x) for x in a]
+            for t in self.row.read_ts:
+                flat += [int(x) for x in t]
+            for a in self.col.ops_addr:
+                flat += [int(x) for x in a]
+            for t in self.col.read_ts:
+                flat += [int(x) for x in t]
+            for v in vals:
+                flat += [int(x) for x in v]
+            flat += [0] * (_next_pow2(len(flat)) - len(flat))
+            self.comb_ops = DensePoly(flat)
+            self.comb_mem = DensePoly(
+                [int(x) for x in self.row.audit_ts]
+                + [int(x) for x in self.col.audit_ts])
+        else:
+            parts = ([small_ints_to_dev(a) for a in self.row.ops_addr]
+                     + [small_ints_to_dev(t) for t in self.row.read_ts]
+                     + [small_ints_to_dev(a) for a in self.col.ops_addr]
+                     + [small_ints_to_dev(t) for t in self.col.read_ts]
+                     + list(vals))
+            total = sum(p.shape[0] for p in parts)
+            pad = _next_pow2(total) - total
+            chunks = parts + ([FQ.zeros((pad,))] if pad else [])
+            self.comb_ops = DensePoly(jnp.concatenate(chunks, axis=0))
+            mem = jnp.concatenate(
+                [small_ints_to_dev(self.row.audit_ts),
+                 small_ints_to_dev(self.col.audit_ts)], axis=0)
+            self.comb_mem = DensePoly(mem)
 
 
 class SparseMatPolyCommitmentGens:
@@ -172,15 +213,21 @@ def multi_commit(sparse_mats, num_vars_x, num_vars_y,
 # ----------------------------------------------------------------------
 
 class Derefs:
-    def __init__(self, row_ops_val: List[jnp.ndarray],
-                 col_ops_val: List[jnp.ndarray]):
+    def __init__(self, row_ops_val, col_ops_val):
         self.row_ops_val = row_ops_val
         self.col_ops_val = col_ops_val
         parts = list(row_ops_val) + list(col_ops_val)
-        total = sum(p.shape[0] for p in parts)
-        pad = _next_pow2(total) - total
-        chunks = parts + ([FQ.zeros((pad,))] if pad else [])
-        self.comb = DensePoly(jnp.concatenate(chunks, axis=0))
+        if parts and _is_host_vec(parts[0]):
+            flat: List[int] = []
+            for p in parts:
+                flat += [int(x) for x in p]
+            flat += [0] * (_next_pow2(len(flat)) - len(flat))
+            self.comb = DensePoly(flat)
+        else:
+            total = sum(p.shape[0] for p in parts)
+            pad = _next_pow2(total) - total
+            chunks = parts + ([FQ.zeros((pad,))] if pad else [])
+            self.comb = DensePoly(jnp.concatenate(chunks, axis=0))
 
     def commit(self, gens: PolyCommitmentGens) -> PolyCommitment:
         comm, _ = poly_commit(self.comb, gens, None)
@@ -274,19 +321,39 @@ class Layers:
     """Product circuits over the hashed (init, read x3, write x3, audit)
     multisets for one address space (row or col)."""
 
-    def __init__(self, eval_table_dev: jnp.ndarray, addr_ts: AddrTimestamps,
-                 ops_val_dev: List[jnp.ndarray], r_mem_check: Tuple[int, int]):
+    def __init__(self, eval_table, addr_ts: AddrTimestamps,
+                 ops_val, r_mem_check: Tuple[int, int]):
         r_hash, r_multiset = r_mem_check
+        if _is_host_vec(eval_table):
+            rh2i = r_hash * r_hash % L
+
+            def hleaves(addr, val, ts):
+                return (ts * rh2i + val * r_hash + addr - r_multiset) % L
+
+            num_cells = eval_table.shape[0]
+            ident = _obj(list(range(num_cells)))
+            self.init_leaves = hleaves(ident, eval_table, _obj([0] * num_cells))
+            self.audit_leaves = hleaves(
+                ident, eval_table, _obj([int(x) for x in addr_ts.audit_ts]))
+            self.read_leaves = []
+            self.write_leaves = []
+            for i in range(len(addr_ts.ops_addr)):
+                addr = _obj([int(x) for x in addr_ts.ops_addr[i]])
+                rts = _obj([int(x) for x in addr_ts.read_ts[i]])
+                self.read_leaves.append(hleaves(addr, ops_val[i], rts))
+                self.write_leaves.append(hleaves(addr, ops_val[i], rts + 1))
+            return
+
         rh = FQ.to_mont([r_hash])
         rh2 = FQ.to_mont([r_hash * r_hash % L])
         rm = FQ.to_mont([r_multiset])
 
-        num_cells = eval_table_dev.shape[0]
+        num_cells = eval_table.shape[0]
         ident = ints_to_dev(list(range(num_cells)))
         zero_ts = FQ.zeros((num_cells,))
         audit_ts = ints_to_dev([int(x) for x in addr_ts.audit_ts])
-        self.init_leaves = _hash_leaves(ident, eval_table_dev, zero_ts, rh, rh2, rm)
-        self.audit_leaves = _hash_leaves(ident, eval_table_dev, audit_ts, rh, rh2, rm)
+        self.init_leaves = _hash_leaves(ident, eval_table, zero_ts, rh, rh2, rm)
+        self.audit_leaves = _hash_leaves(ident, eval_table, audit_ts, rh, rh2, rm)
 
         one = FQ.ones((addr_ts.num_ops,))
         self.read_leaves = []
@@ -296,9 +363,9 @@ class Layers:
             rts = ints_to_dev([int(x) for x in addr_ts.read_ts[i]])
             wts = FQ.add(rts, one)
             self.read_leaves.append(
-                _hash_leaves(addr, ops_val_dev[i], rts, rh, rh2, rm))
+                _hash_leaves(addr, ops_val[i], rts, rh, rh2, rm))
             self.write_leaves.append(
-                _hash_leaves(addr, ops_val_dev[i], wts, rh, rh2, rm))
+                _hash_leaves(addr, ops_val[i], wts, rh, rh2, rm))
 
 
 # ----------------------------------------------------------------------
@@ -318,7 +385,10 @@ class HashLayerProof:
     PROTOCOL = b"Sparse polynomial hash layer proof"
 
     @staticmethod
-    def _evaluate_many(polys: List[jnp.ndarray], r: Sequence[int]) -> List[int]:
+    def _evaluate_many(polys, r: Sequence[int]) -> List[int]:
+        if polys and _is_host_vec(polys[0]):
+            chis = _obj(eq_evals_host(list(r)))
+            return [int((p * chis).sum() % L) for p in polys]
         chis = eq_evals(list(r))
         return [int(FQ.from_mont(FQ.dot(p, chis))) for p in polys]
 
@@ -336,13 +406,19 @@ class HashLayerProof:
             derefs, eval_row_ops_val, eval_col_ops_val, rand_ops,
             gens.gens_derefs, transcript, tape)
 
+        host = dense.host
+
+        def _lift(vals):
+            ints = [int(x) for x in vals]
+            return _obj(ints) if host else ints_to_dev(ints)
+
         def helper(ts: AddrTimestamps):
             addr = HashLayerProof._evaluate_many(
-                [ints_to_dev([int(x) for x in a]) for a in ts.ops_addr], rand_ops)
+                [_lift(a) for a in ts.ops_addr], rand_ops)
             rts = HashLayerProof._evaluate_many(
-                [ints_to_dev([int(x) for x in t]) for t in ts.read_ts], rand_ops)
+                [_lift(t) for t in ts.read_ts], rand_ops)
             audit = HashLayerProof._evaluate_many(
-                [ints_to_dev([int(x) for x in ts.audit_ts])], rand_mem)[0]
+                [_lift(ts.audit_ts)], rand_mem)[0]
             return addr, rts, audit
 
         eval_row_addr, eval_row_read_ts, eval_row_audit_ts = helper(dense.row)
@@ -498,7 +574,9 @@ class ProductLayerProof:
         transcript.append_protocol_name(ProductLayerProof.PROTOCOL)
         B = dense.batch_size
 
-        ops_inputs = jnp.stack(
+        _stk = (np.stack if _is_host_vec(row_layers.read_leaves[0])
+                else jnp.stack)
+        ops_inputs = _stk(
             row_layers.read_leaves + row_layers.write_leaves
             + col_layers.read_leaves + col_layers.write_leaves, axis=0)
         ops_circ = BatchedProductCircuits(ops_inputs)
@@ -508,7 +586,7 @@ class ProductLayerProof:
         col_eval_read = ops_evals[2 * B:3 * B]
         col_eval_write = ops_evals[3 * B:4 * B]
 
-        mem_inputs = jnp.stack(
+        mem_inputs = _stk(
             [row_layers.init_leaves, row_layers.audit_leaves,
              col_layers.init_leaves, col_layers.audit_leaves], axis=0)
         mem_circ = BatchedProductCircuits(mem_inputs)
@@ -557,8 +635,9 @@ class ProductLayerProof:
                 lefts.append(lrow[lo:hi])
                 rights.append(rcol[lo:hi])
                 weights_.append(w[lo:hi])
-        dotp = BatchedDotProducts(jnp.stack(lefts), jnp.stack(rights),
-                                  jnp.stack(weights_))
+        _stk2 = np.stack if _is_host_vec(lefts[0]) else jnp.stack
+        dotp = BatchedDotProducts(_stk2(lefts), _stk2(rights),
+                                  _stk2(weights_))
         dotp_evals = dotp.evaluate()
         for i in range(B):
             el, er = dotp_evals[2 * i], dotp_evals[2 * i + 1]
@@ -706,8 +785,12 @@ class SparseMatPolyEvalProof:
         transcript.append_protocol_name(SparseMatPolyEvalProof.PROTOCOL)
         assert len(evals) == dense.batch_size
         rx_ext, ry_ext = _equalize(rx, ry)
-        mem_rx = eq_evals(rx_ext)
-        mem_ry = eq_evals(ry_ext)
+        if dense.host:
+            mem_rx = _obj(eq_evals_host(rx_ext))
+            mem_ry = _obj(eq_evals_host(ry_ext))
+        else:
+            mem_rx = eq_evals(rx_ext)
+            mem_ry = eq_evals(ry_ext)
         derefs = Derefs(dense.row.deref(mem_rx), dense.col.deref(mem_ry))
         comm_derefs = derefs.commit(gens.gens_derefs)
         derefs_commitment_append(comm_derefs, b"comm_poly_row_col_ops_val",

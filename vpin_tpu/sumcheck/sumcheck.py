@@ -13,7 +13,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
+import functools
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..field.prime_field import FQ, L_MODULUS as L
@@ -176,6 +179,45 @@ def _round_evals(kind: str, *tables):
     return out
 
 
+def _round_evals_host(kind: str, polys) -> List[int]:
+    """Host-int round evals over small tables (bit-identical to the
+    device kernels; everything is exact arithmetic mod l)."""
+    tabs = [p.Zh for p in polys]
+    n = len(tabs[0]) // 2
+    los = [t[:n] for t in tabs]
+    his = [t[n:] for t in tabs]
+    if kind == "quad":
+        Al, Bl = los
+        Ah, Bh = his
+        e0 = sum(a * b % L for a, b in zip(Al, Bl)) % L
+        e2 = sum((2 * ah - al) * (2 * bh - bl) % L
+                 for al, ah, bl, bh in zip(Al, Ah, Bl, Bh)) % L
+        return [e0, e2]
+    if kind == "cubic":
+        e0 = e2 = e3 = 0
+        for i in range(n):
+            a, b, c = los[0][i], los[1][i], los[2][i]
+            e0 += a * b % L * c
+            a2, b2, c2 = (2 * h - l for l, h in
+                          ((los[j][i], his[j][i]) for j in range(3)))
+            e2 += a2 * b2 % L * c2
+            a3, b3, c3 = (v + h - l for v, l, h in
+                          ((x, los[j][i], his[j][i])
+                           for j, x in enumerate((a2, b2, c2))))
+            e3 += a3 * b3 % L * c3
+        return [e0 % L, e2 % L, e3 % L]
+    assert kind == "cubic_additive"
+    e0 = e2 = e3 = 0
+    for i in range(n):
+        v0 = [los[j][i] for j in range(4)]
+        e0 += v0[0] * (v0[1] * v0[2] - v0[3]) % L
+        v2 = [2 * his[j][i] - los[j][i] for j in range(4)]
+        e2 += v2[0] * (v2[1] * v2[2] - v2[3]) % L
+        v3 = [v2[j] + his[j][i] - los[j][i] for j in range(4)]
+        e3 += v3[0] * (v3[1] * v3[2] - v3[3]) % L
+    return [e0 % L, e2 % L, e3 % L]
+
+
 def _round_evals_quad(A, B):
     return _round_evals("quad", A, B)
 
@@ -186,6 +228,58 @@ def _round_evals_cubic_additive(A, B, C, D):
 
 def _round_evals_cubic(A, B, C):
     return _round_evals("cubic", A, B, C)
+
+
+_ROUND_JIT_DISPATCH = {
+    "quad": _round_evals_quad,
+    "cubic_additive": _round_evals_cubic_additive,
+}
+
+
+# ----------------------------------------------------------------------
+# fixed-shape masked round kernels (single-device path)
+#
+# XLA compiles one executable per input shape; naively each sumcheck
+# round halves the tables and forces a fresh compile.  Instead the
+# tables keep a fixed physical length with the live prefix [0, 2*half)
+# and zero-padding beyond; `half` is a runtime scalar, so ONE compiled
+# kernel serves every round.  Tables compact 16x when the live region
+# shrinks enough, bounding wasted lanes at ~7% while keeping the number
+# of distinct shapes at ceil(rounds/4).
+# ----------------------------------------------------------------------
+
+_COMPACT_FACTOR = 16
+
+
+@functools.lru_cache(maxsize=None)
+def _masked_round_kernel(kind: str, n_phys: int, n_tables: int):
+    partial_fn = _ROUND_PARTIALS[kind]
+
+    def run(half, *tables):
+        idx = jnp.arange(n_phys)
+        m = (idx < half)[:, None]
+        los = tuple(jnp.where(m, t, jnp.uint32(0)) for t in tables)
+        his = tuple(jnp.where(m, jnp.roll(t, -half, axis=0), jnp.uint32(0))
+                    for t in tables)
+        return jnp.stack(partial_fn(los, his), axis=0)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _masked_bind_kernel(n_phys: int, n_tables: int):
+    def run(half, r_mont, *tables):
+        idx = jnp.arange(n_phys)
+        m = (idx < half)[:, None]
+        outs = []
+        for t in tables:
+            hi = jnp.roll(t, -half, axis=0)
+            b = FQ.add(t, FQ.mul(jnp.broadcast_to(r_mont, t.shape),
+                                 FQ.sub(hi, t)))
+            outs.append(jnp.where(m, b, jnp.uint32(0)))
+        return tuple(outs)
+
+    return jax.jit(run)
 
 
 def _to_int(x) -> int:
@@ -224,8 +318,12 @@ class SumcheckInstanceProof:
         r: List[int] = []
         polys: List[List[int]] = []
         for _ in range(num_rounds):
-            e0, e2, e3 = (_to_int(v) for v in
-                          _round_evals_cubic(poly_A.Z, poly_B.Z, poly_C.Z))
+            if poly_A.is_host:
+                e0, e2, e3 = _round_evals_host(
+                    "cubic", (poly_A, poly_B, poly_C))
+            else:
+                e0, e2, e3 = (_to_int(v) for v in
+                              _round_evals_cubic(poly_A.Z, poly_B.Z, poly_C.Z))
             poly = UniPoly.from_evals([e0, (e - e0) % L, e2, e3])
             poly.append_to_transcript(b"poly", transcript)
             r_j = transcript.challenge_scalar(b"challenge_nextround")
@@ -304,6 +402,7 @@ class ZKSumcheckInstanceProof:
     def _prove_rounds(claim, blind_claim, num_rounds, polys, kind,
                       gens_1, gens_n, transcript, tape):
         """Shared round loop; kind in {'quad', 'cubic_additive'}."""
+        from ..parallel.mesh import get_mesh
         blinds_poly = tape.random_vector(b"blinds_poly", num_rounds)
         blinds_evals = tape.random_vector(b"blinds_evals", num_rounds)
 
@@ -315,14 +414,31 @@ class ZKSumcheckInstanceProof:
         comm_evals: List[bytes] = []
         proofs: List[DotProductProof] = []
 
+        host = polys[0].is_host
+        # masked fixed-shape path: single device, no mesh (the mesh path
+        # shards the per-size tables instead)
+        masked = (not host) and get_mesh() is None
+        if masked:
+            tabs = tuple(p.Z for p in polys)
+            n_phys = tabs[0].shape[0]
+            live = n_phys
+
         for j in range(num_rounds):
+            if host:
+                ev = _round_evals_host(kind, polys)
+            elif masked:
+                half = live // 2
+                out = _masked_round_kernel(kind, n_phys, len(tabs))(
+                    jnp.int32(half), *tabs)
+                ev = [int(v) for v in FQ.from_mont(out)]
+            else:
+                ev = [_to_int(v) for v in _ROUND_JIT_DISPATCH[kind](
+                    *(p.Z for p in polys))]
             if kind == "quad":
-                e0, e2 = (_to_int(v) for v in
-                          _round_evals_quad(polys[0].Z, polys[1].Z))
+                e0, e2 = ev
                 evals = [e0, (claim_per_round - e0) % L, e2]
             else:
-                e0, e2, e3 = (_to_int(v) for v in _round_evals_cubic_additive(
-                    polys[0].Z, polys[1].Z, polys[2].Z, polys[3].Z))
+                e0, e2, e3 = ev
                 evals = [e0, (claim_per_round - e0) % L, e2, e3]
             poly = UniPoly.from_evals(evals)
             comm_poly = poly.commit(gens_n, blinds_poly[j]).compress()
@@ -330,8 +446,17 @@ class ZKSumcheckInstanceProof:
             comm_polys.append(comm_poly)
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
-            for p in polys:
-                p.bound_poly_var_top(r_j)
+            if masked:
+                r_mont = FQ.to_mont([r_j])[0]
+                tabs = _masked_bind_kernel(n_phys, len(tabs))(
+                    jnp.int32(live // 2), r_mont, *tabs)
+                live //= 2
+                if live >= 1 and live * _COMPACT_FACTOR <= n_phys:
+                    tabs = tuple(t[:live] for t in tabs)
+                    n_phys = live
+            else:
+                for p in polys:
+                    p.bound_poly_var_top(r_j)
 
             eval_r = poly.evaluate(r_j)
             comm_eval = commit1(eval_r, blinds_evals[j], gens_1).compress()
@@ -361,7 +486,11 @@ class ZKSumcheckInstanceProof:
             r.append(r_j)
             comm_evals.append(comm_eval)
 
-        claims = [p.index(0) for p in polys]
+        if masked:
+            claims = [int(v) for v in
+                      FQ.from_mont(jnp.stack([t[0] for t in tabs]))]
+        else:
+            claims = [p.index(0) for p in polys]
         return (ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs),
                 r, claims, blinds_evals[num_rounds - 1])
 

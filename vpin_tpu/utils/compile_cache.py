@@ -1,0 +1,43 @@
+"""Persistent XLA compilation cache management.
+
+XLA compiles one executable per (computation, shape) pair; the limb-field
+kernel zoo makes cold compiles the dominant cost of small runs.  The
+persistent cache amortizes them across PROCESSES: the first run writes
+serialized executables under .jax_cache/ (inside the repo, per the
+sandbox contract), later runs load them in milliseconds.
+
+Enable with enable_compilation_cache() (bench.py, __graft_entry__.py,
+tests/conftest.py all call it); opt out with VPIN_COMPILE_CACHE=0.
+
+Round-2 note: the cache was disabled because one executable crashed the
+serializer.  That kernel zoo is gone — protocol-spine work moved to host
+ints and the remaining device kernels (masked sumcheck rounds, scan-based
+MSM bodies) serialize fine; if a machine still misbehaves, set
+VPIN_COMPILE_CACHE=0.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+_enabled = False
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> bool:
+    """Idempotent; returns True if the cache is active."""
+    global _enabled
+    if _enabled:
+        return True
+    if os.environ.get("VPIN_COMPILE_CACHE", "1") == "0":
+        return False
+    import jax
+    d = cache_dir or os.environ.get("VPIN_COMPILE_CACHE_DIR", _DEFAULT_DIR)
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _enabled = True
+    return True
