@@ -103,11 +103,15 @@ def _fold_sum(group, Q):
     return group.sum_points(Q, axis=1)
 
 
-def _msm_body(group, table, digits):
+def _msm_body(group, table, digits, vary=()):
     """Traceable MSM over a digit table.
 
     table:  (2^c, n_pad) PointE
     digits: (rows, n_pad, 32) int32  (LSB-first windows)
+    vary:   mesh axis names when tracing inside shard_map — the Horner
+            scan carry must be marked varying over them (lax.pvary) or
+            the carry-in (replicated identity) and carry-out (data-
+            dependent accumulator) types mismatch
     -> (rows,) PointE
 
     Graph size is O(1) group adds: the window fold, the Horner doubling
@@ -136,6 +140,9 @@ def _msm_body(group, table, digits):
         return group.add(acc, q), None
 
     acc0 = group.identity((n_rows,))
+    if vary:
+        acc0 = cls(*(jax.lax.pcast(c, tuple(vary), to="varying")
+                     for c in acc0))
     acc, _ = jax.lax.scan(horner, acc0, rev)
     return acc
 

@@ -52,11 +52,11 @@ def _msm_row_kernel(mesh, group, n_pad: int, rows: int):
 
     def local(table, digits):                       # digits (local, n, 32)
         if local_rows <= rp:
-            return _msm_body(group, table, digits)
+            return _msm_body(group, table, digits, vary=(AXIS,))
         resh = digits.reshape(local_rows // rp, rp, n_pad, 32)
 
         def body(carry, d):
-            return carry, _msm_body(group, table, d)
+            return carry, _msm_body(group, table, d, vary=(AXIS,))
 
         _, outs = jax.lax.scan(body, 0, resh)       # (chunks, rp) points
         return type(table)(*(c.reshape(local_rows, 16) for c in outs))
@@ -103,7 +103,8 @@ def _round_kernel(mesh, partial_fn, n_tables: int, n2: int):
                 e = partial_fn(xs[:n_tables], xs[n_tables:])
                 return tuple(FQ.add(c, v) for c, v in zip(carry, e)), None
 
-            init = tuple(FQ.zeros(()) for _ in range(n_evals))
+            init = tuple(jax.lax.pcast(FQ.zeros(()), (AXIS,), to="varying")
+                         for _ in range(n_evals))
             evs, _ = jax.lax.scan(body, init, ch)
         return jnp.stack(evs, axis=0)[None]         # (1, nev, 16)
 
