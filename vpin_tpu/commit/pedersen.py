@@ -40,7 +40,7 @@ from ..curve.msm import FixedBaseMSM, host_digits, limbs_to_digits, msm_oneshot
 
 R = RISTRETTO
 
-_ONE_PLAIN = jnp.asarray(int_to_limbs(1))
+_ONE_PLAIN = int_to_limbs(1)   # host numpy: no device constant at lowering
 
 #: total point-ops bound (rows * width) under which Hyrax row commits run
 #: on the host instead of the device

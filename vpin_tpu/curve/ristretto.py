@@ -71,8 +71,9 @@ class PointE(NamedTuple):
 
 
 def _c(v: int):
-    """Host int -> device Montgomery constant (16,)."""
-    return jnp.asarray(int_to_limbs(v * FP.R % P))
+    """Host int -> Montgomery constant (16,) as a HOST numpy array (safe
+    to close over in jitted code: no device round trip at lowering)."""
+    return int_to_limbs(v * FP.R % P)
 
 
 class RistrettoGroup(PaddedOps):

@@ -44,8 +44,9 @@ class WeierstrassCurve(PaddedOps):
         self.F = field
         self.a_int, self.b_int = a, b
         self.order = order
-        self.A = field.to_mont([a])[0]
-        self.B3 = field.to_mont([3 * b % field.modulus])[0]
+        # host numpy Montgomery constants: safe to close over in jit
+        self.A = field.mont_limbs_np(a)
+        self.B3 = field.mont_limbs_np(3 * b % field.modulus)
         self.gx_int, self.gy_int = gx, gy
 
     # -- cached jitted entry points -------------------------------------
@@ -91,8 +92,8 @@ class WeierstrassCurve(PaddedOps):
 
     def generator(self, shape=()) -> PointW:
         F = self.F
-        gx = jnp.broadcast_to(F.to_mont([self.gx_int])[0], tuple(shape) + (16,))
-        gy = jnp.broadcast_to(F.to_mont([self.gy_int])[0], tuple(shape) + (16,))
+        gx = jnp.broadcast_to(F.mont_limbs_np(self.gx_int), tuple(shape) + (16,))
+        gy = jnp.broadcast_to(F.mont_limbs_np(self.gy_int), tuple(shape) + (16,))
         return PointW(gx, gy, F.ones(shape))
 
     def from_affine_host(self, pts) -> PointW:

@@ -154,11 +154,17 @@ class PrimeField:
         self.R2 = (self.R * self.R) % modulus
         self.R3 = (self.R2 * self.R) % modulus
         self.nprime_int = (-pow(modulus, -1, R)) % R   # -N^{-1} mod 2^256
-        self.N_dev = jnp.asarray(int_to_limbs(modulus))
-        self.NPRIME_dev = jnp.asarray(int_to_limbs(self.nprime_int))
-        self.NCOMP_dev = jnp.asarray(int_to_limbs(R - modulus))
-        self.R_dev = jnp.asarray(int_to_limbs(self.R))  # == one, Montgomery form
-        self.R2_dev = jnp.asarray(int_to_limbs(self.R2))
+        # IMPORTANT: constants stay HOST numpy arrays.  jnp ops accept them
+        # directly, and jit embeds them into the module straight from host
+        # memory.  Eager device constants would be closed over by jitted
+        # functions and embedded via a device->host fetch at LOWERING time
+        # — on a remote-device backend (axon tunnel) that fetch costs
+        # seconds to minutes.
+        self.N_dev = int_to_limbs(modulus)
+        self.NPRIME_dev = int_to_limbs(self.nprime_int)
+        self.NCOMP_dev = int_to_limbs(R - modulus)
+        self.R_dev = int_to_limbs(self.R)  # == one, Montgomery form
+        self.R2_dev = int_to_limbs(self.R2)
         self._inv_exp_bits = tuple(int(b) for b in bin(modulus - 2)[2:])
 
     # ------------------------------------------------------------------
@@ -186,7 +192,7 @@ class PrimeField:
 
     @functools.cached_property
     def _from_mont_jit(self):
-        one_plain = jnp.asarray(int_to_limbs(1))
+        one_plain = int_to_limbs(1)
         return jax.jit(lambda x: self.mul(x, jnp.broadcast_to(one_plain, x.shape)))
 
     def from_mont(self, limbs) -> np.ndarray:
@@ -258,7 +264,12 @@ class PrimeField:
 
     @functools.lru_cache(maxsize=None)
     def _const_mont(self, k: int):
-        return jnp.asarray(int_to_limbs((k % self.modulus) * self.R % self.modulus))
+        return int_to_limbs((k % self.modulus) * self.R % self.modulus)
+
+    def mont_limbs_np(self, v: int) -> np.ndarray:
+        """Host int -> Montgomery-form limb vector as a HOST numpy array
+        (safe to close over in jitted code: no device round trip)."""
+        return int_to_limbs(int(v) % self.modulus * self.R % self.modulus)
 
     def mul_const(self, a, k: int):
         """Multiply by a host integer constant."""

@@ -185,8 +185,12 @@ def point_addition_gadget(add_px: List[int], add_py: List[int],
         vars_full.append(0)
         inputs: List[int] = []
         assert inst.is_sat(vars_full, inputs), "point-add gadget unsatisfied"
+        # actual max nnz == the reference bucket estimate here (16 A-entries
+        # per add; point_addition.rs:40-65 yields 2*(25/3)*n = 16n), but the
+        # actual count stays correct for sizes the bucket table never saw
         return (inst, [0] * num_vars, list(vars_full), vars_full, inputs,
-                num_cons, num_vars, num_inputs, nnz_param(n))
+                num_cons, num_vars, num_inputs,
+                max(len(A[0]), len(B[0]), len(C[0])))
 
     px = FQ.to_mont(add_px)
     py = FQ.to_mont(add_py)
@@ -214,4 +218,4 @@ def point_addition_gadget(add_px: List[int], add_py: List[int],
 
     assert inst.is_sat(vars_full, inputs), "point-add gadget unsatisfied"
     return inst, vars_para, vars_input, vars_full, inputs, \
-        num_cons, num_vars, num_inputs, nnz_param(n)
+        num_cons, num_vars, num_inputs, max(len(A[0]), len(B[0]), len(C[0]))

@@ -318,5 +318,14 @@ def point_mult_gadget(weights: List[int], mult_px: List[int],
             vars_input[n + onv * jj] = 0
 
     assert inst.is_sat(vars_full, inputs), "point-mult gadget unsatisfied"
+    # SNARKGens sizing uses the ACTUAL max nnz: the reference passes its
+    # hard-coded bucket estimate (point_mult.rs:29-56) instead, but
+    # Spartan's commit gens only depend on next_pow2(nnz) and the bucket
+    # table is tuned so the two agree at the reference's workload sizes
+    # (e.g. 18 mults: estimate 97,600 vs actual ~97,038 — both pad to
+    # 131,072).  Off those sizes the estimate would break the eval-proof
+    # commit (gens_n.n != R_size, commitments.rs:88); actual nnz is
+    # byte-identical where the reference works and correct everywhere.
+    nnz = max(len(A[0]), len(B[0]), len(C[0]))
     return inst, vars_para, vars_input, vars_full, inputs, \
-        num_cons, num_vars, num_inputs, nnz_param(N, n)
+        num_cons, num_vars, num_inputs, nnz

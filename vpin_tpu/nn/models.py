@@ -67,6 +67,7 @@ class WorkloadResult:
     logits: Optional[np.ndarray] = None
     timings: Dict[str, float] = field(default_factory=dict)
     layer_slices: Optional[Dict[str, tuple]] = None
+    engine: Optional[HomomorphicEngine] = None   # set when checks deferred
 
     @property
     def num_mults(self):
@@ -133,9 +134,16 @@ def _interact(ct: CipherTensor, key: KeyPair, table: BsgsTable,
 
 def run_conv_workload(image: np.ndarray, filter_size: int, key: KeyPair,
                       rng: Optional[random.Random] = None,
-                      padding: int = 1, stride: int = 1) -> WorkloadResult:
+                      padding: int = 1, stride: int = 1,
+                      defer_checks: bool = False) -> WorkloadResult:
     """Single conv layer (reference src/convolution; no decryption phase —
-    the client sends the image and exits)."""
+    the client sends the image and exits).
+
+    defer_checks=True waits for the device computation (block_until_ready,
+    no device->host transfer) but leaves the rLC equality fetches queued on
+    ``result.engine`` — call ``result.engine.flush_checks()`` later.  On
+    remote-tunnel backends the FIRST device->host fetch of a process can
+    cost minutes; this lets callers overlap it with other work."""
     rng = rng or random.Random()
     t0 = time.time()
     scaled = fixed_point.min_max_scaling(image)
@@ -147,10 +155,16 @@ def run_conv_workload(image: np.ndarray, filter_size: int, key: KeyPair,
     filt = CONV_FILTERS[filter_size]
     for half in ct:
         eng.conv2d(half, filt, key=fresh_key(), padding=padding, stride=stride)
-    eng.flush_checks()
+    if defer_checks:
+        import jax
+        jax.block_until_ready([c for c in eng.pending_checks])
+    else:
+        eng.flush_checks()
     t2 = time.time()
-    return WorkloadResult(eng.trace, timings={"encrypt": t1 - t0,
-                                              "inference": t2 - t1})
+    res = WorkloadResult(eng.trace, timings={"encrypt": t1 - t0,
+                                             "inference": t2 - t1})
+    res.engine = eng
+    return res
 
 
 def run_cnn_workload(version: str, image: np.ndarray, key: KeyPair,

@@ -52,6 +52,31 @@ class Writer:
         return bytes(self.buf)
 
 
+class TrackedWriter(Writer):
+    """Writer that records (kind, start, end) for every primitive field —
+    drives the structured proof-fuzzing suite (every serialized field gets
+    mutated and must be cleanly rejected by the verifier)."""
+
+    def __init__(self):
+        super().__init__()
+        self.fields = []
+
+    def _track(self, kind, fn, *a):
+        start = len(self.buf)
+        fn(*a)
+        self.fields.append((kind, start, len(self.buf)))
+        return self
+
+    def u64(self, n):
+        return self._track("len", super().u64, n)
+
+    def scalar(self, v):
+        return self._track("scalar", super().scalar, v)
+
+    def point(self, b):
+        return self._track("point", super().point, b)
+
+
 class Reader:
     def __init__(self, data: bytes):
         self.data = data
@@ -279,16 +304,68 @@ def des_r1cs_sat_proof(r: Reader):
                      comm_vars_at_ry, pe, eq2)
 
 
+def des_layer_proof_batched(r: Reader):
+    from ..spark.product_tree import LayerProofBatched
+    polys = r.vec(lambda: r.vec(r.scalar))
+    return LayerProofBatched(polys, r.vec(r.scalar), r.vec(r.scalar))
+
+
+def des_prod_circuit_batched(r: Reader):
+    from ..spark.product_tree import ProductCircuitEvalProofBatched
+    proof = r.vec(lambda: des_layer_proof_batched(r))
+    claims_dotp = tuple(r.vec(r.scalar) for _ in range(3))
+    return ProductCircuitEvalProofBatched(proof, claims_dotp)
+
+
+def des_hash_layer(r: Reader):
+    from ..spark.sparse_mlpoly import DerefsEvalProof, HashLayerProof
+    groups = []
+    for _ in range(2):
+        groups.append((r.vec(r.scalar), r.vec(r.scalar), r.scalar()))
+    eval_val = r.vec(r.scalar)
+    eval_derefs = (r.vec(r.scalar), r.vec(r.scalar))
+    proof_ops = des_polyeval(r)
+    proof_mem = des_polyeval(r)
+    proof_derefs = DerefsEvalProof(des_polyeval(r))
+    return HashLayerProof(groups[0], groups[1], eval_val, eval_derefs,
+                          proof_ops, proof_mem, proof_derefs)
+
+
+def des_eval_network(r: Reader):
+    from ..spark.sparse_mlpoly import (PolyEvalNetworkProof,
+                                       ProductLayerProof)
+    groups = []
+    for _ in range(2):
+        groups.append((r.scalar(), r.vec(r.scalar), r.vec(r.scalar),
+                       r.scalar()))
+    eval_val = (r.vec(r.scalar), r.vec(r.scalar))
+    proof_mem = des_prod_circuit_batched(r)
+    proof_ops = des_prod_circuit_batched(r)
+    pl = ProductLayerProof(groups[0], groups[1], eval_val, proof_mem,
+                           proof_ops)
+    return PolyEvalNetworkProof(pl, des_hash_layer(r))
+
+
+def des_sparse_eval_proof(r: Reader):
+    from ..spark.sparse_mlpoly import R1CSEvalProof, SparseMatPolyEvalProof
+    comm_derefs = des_poly_commitment(r)
+    return R1CSEvalProof(SparseMatPolyEvalProof(comm_derefs,
+                                                des_eval_network(r)))
+
+
 def deserialize_snark(data: bytes):
-    """bincode bytes -> CPSnarkProof.  The eval-proof tail, when present,
-    is not yet reconstructed (transparent-mode proofs roundtrip fully)."""
+    """bincode bytes -> CPSnarkProof (with or without the eval-proof
+    tail; field order mirrors serialize_snark exactly)."""
     from ..snark.cp_snark import CPSnarkProof
     r = Reader(data)
     sat = des_r1cs_sat_proof(r)
     evals = tuple(r.scalar() for _ in range(3))
+    eval_proof = None
     if r.off != len(data):
-        raise ValueError("trailing eval-proof bytes; transparent proofs only")
-    return CPSnarkProof(sat, evals, None)
+        eval_proof = des_sparse_eval_proof(r)
+        if r.off != len(data):
+            raise ValueError("trailing bytes after eval proof")
+    return CPSnarkProof(sat, evals, eval_proof)
 
 
 def deserialize_nizk(data: bytes):
