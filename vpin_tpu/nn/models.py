@@ -78,6 +78,21 @@ class WorkloadResult:
         return self.trace.num_adds
 
 
+def load_reference_image(size: int, base_dir: str = None) -> Optional[np.ndarray]:
+    """Load the reference's MNIST input image for a given size
+    (src/convolution/image_mnist_<size>_<size>.npy, used by
+    convolution/Client.py:296-304); None when unavailable."""
+    import os
+    base_dir = base_dir or os.environ.get("VPIN_REFERENCE", "/root/reference")
+    path = os.path.join(base_dir, "src", "convolution",
+                        f"image_mnist_{size}_{size}.npy")
+    try:
+        img = np.load(path)
+    except (OSError, ValueError):
+        return None
+    return np.asarray(img, dtype=np.float32).reshape(size, size)
+
+
 def make_random_weights(fc1_in: int, fc1_out: int, fc2_out: int = 10,
                         seed: int = 0) -> Dict[str, np.ndarray]:
     """Stand-in pretrained weights (same shapes/dtype scale as the .npy

@@ -23,6 +23,13 @@ import numpy as np
 
 
 def _make_image(size: int, seed: int = 5) -> np.ndarray:
+    """The reference's real MNIST image for this size when available
+    (src/convolution/image_mnist_<size>_<size>.npy), random otherwise."""
+    from ..nn.models import load_reference_image
+    img = load_reference_image(size)
+    if img is not None:
+        print(f"Using reference MNIST image image_mnist_{size}_{size}.npy")
+        return img
     rng = np.random.RandomState(seed)
     return rng.uniform(0.0, 1.0, (size, size)).astype(np.float32)
 
@@ -159,7 +166,8 @@ def cmd_mult_scale(args):
         P = P + P
     print(f"trace ready in {time.time()-t0:.1f} s")
     prove_point_mult(scalars, px, py, tape_seed=args.seed,
-                     full_snark=not args.transparent)
+                     full_snark=not args.transparent,
+                     ckpt_dir=args.ckpt)
 
 
 def cmd_bsgs(args):
@@ -233,6 +241,8 @@ def main(argv=None):
     c.add_argument("--mults", type=int, default=1000)
     c.add_argument("--seed", type=int, default=0)
     c.add_argument("--transparent", action="store_true")
+    c.add_argument("--ckpt", type=str, default=None,
+                   help="checkpoint dir: long proofs resume after a kill")
     c.set_defaults(fn=cmd_mult_scale)
 
     c = sub.add_parser("bsgs", help="build the BSGS decryption table (E1)")

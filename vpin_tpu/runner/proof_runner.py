@@ -73,7 +73,7 @@ class ProofStats:
 
 
 def _prove_gadget(gadget_out, tape_seed: Optional[int], quiet: bool,
-                  full_snark: bool = True):
+                  full_snark: bool = True, ckpt=None):
     inst, vars_para, vars_input, vars_full, inputs, nc, nv, ni, nnz = gadget_out
 
     gens = SNARKGens(nc, nv, ni, nnz)
@@ -86,27 +86,44 @@ def _prove_gadget(gadget_out, tape_seed: Optional[int], quiet: bool,
         comm, decomm = snark_encode(inst, gens)
     poly_vars, comm_vars, blind_vars, comm_para, comm_input = \
         cp_commit_witness(vars_para, vars_input, vars_full, gens,
-                          tape_seed=tape_seed)
+                          tape_seed=tape_seed, ckpt=ckpt)
 
     pt = Transcript(b"snark_example")
     proof = cp_snark_prove(inst, vars_full, inputs, gens, pt,
                            poly_vars, comm_vars, blind_vars,
                            decomm=decomm, tape_seed=tape_seed,
-                           with_eval_proof=full_snark)
+                           with_eval_proof=full_snark, ckpt=ckpt)
     return proof, inst, inputs, gens, comm_para, comm_input, comm
 
 
+def _make_ckpt(ckpt_dir: Optional[str], kind: str, count: int,
+               tape_seed: Optional[int], n_bits: int = 0):
+    """CheckpointStore bound to this exact proof run (SURVEY.md section 5:
+    intra-proof resume for LeNet-L5-class runs)."""
+    if ckpt_dir is None:
+        return None
+    from ..utils.checkpoint import CheckpointStore
+    assert tape_seed is not None, \
+        "checkpointed proofs need a deterministic tape_seed"
+    return CheckpointStore(ckpt_dir, meta={
+        "kind": kind, "count": count, "tape_seed": tape_seed,
+        "n_bits": n_bits})
+
+
 def prove_point_add(px, py, rx, ry, rz, tape_seed=None,
-                    quiet=False, full_snark=None) -> ProofStats:
+                    quiet=False, full_snark=None,
+                    ckpt_dir=None) -> ProofStats:
     if full_snark is None:
         full_snark = DEFAULT_CONFIG.with_eval_proof
     t0 = time.time()
     if not quiet:
         print("Point Addition Gadget...")
         print(f"Number of Point Additions: {len(px)}")
+    ckpt = _make_ckpt(ckpt_dir, "point_add", len(px), tape_seed)
     gadget = point_addition_gadget(px, py, rx, ry, rz)
     proof, inst, inputs, gens, comm_para, comm_input, comm = \
-        _prove_gadget(gadget, tape_seed, quiet, full_snark=full_snark)
+        _prove_gadget(gadget, tape_seed, quiet, full_snark=full_snark,
+                      ckpt=ckpt)
     size = proof.size()
     gen_ms = int((time.time() - t0) * 1000)
     if not quiet:
@@ -126,7 +143,8 @@ def prove_point_add(px, py, rx, ry, rz, tape_seed=None,
 
 
 def prove_point_mult(weights, px, py, n_bits=128, tape_seed=None,
-                     quiet=False, full_snark=None) -> ProofStats:
+                     quiet=False, full_snark=None,
+                     ckpt_dir=None) -> ProofStats:
     if full_snark is None:
         full_snark = DEFAULT_CONFIG.with_eval_proof
     t0 = time.time()
@@ -138,9 +156,12 @@ def prove_point_mult(weights, px, py, n_bits=128, tape_seed=None,
     if not quiet:
         print("Point Multiplication Gadget...")
         print(f"Number of Point Multiplications: {len(weights)}")
+    ckpt = _make_ckpt(ckpt_dir, "point_mult", len(weights), tape_seed,
+                      n_bits=n_bits)
     gadget = point_mult_gadget(weights, px, py, n=n_bits)
     proof, inst, inputs, gens, comm_para, comm_input, comm = \
-        _prove_gadget(gadget, tape_seed, quiet, full_snark=full_snark)
+        _prove_gadget(gadget, tape_seed, quiet, full_snark=full_snark,
+                      ckpt=ckpt)
     size = proof.size()
     gen_ms = int((time.time() - t0) * 1000)
     if not quiet:

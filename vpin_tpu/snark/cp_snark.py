@@ -112,11 +112,28 @@ def _assignment_poly(vals, n: int) -> DensePoly:
 
 def cp_commit_witness(vars_para, vars_input,
                       full_vars, gens: SNARKGens,
-                      tape_seed: Optional[int] = None):
+                      tape_seed: Optional[int] = None, ckpt=None):
     """Commit the two witness shares and the combined witness
-    (reference: proof_point_add.rs:44-78)."""
+    (reference: proof_point_add.rs:44-78).
+
+    With a CheckpointStore and a deterministic tape_seed the Hyrax row
+    MSMs are skipped on resume: blinds replay from the seeded tape and
+    the committed row bytes load from the store."""
+    from ..poly.dense import factored_lens
     n = gens.num_vars_padded
     tape1 = RandomTape(bytes([2]), seed=tape_seed)
+
+    cached = ckpt.load("witness_commit") if ckpt is not None else None
+    if cached is not None:
+        assert tape_seed is not None, "checkpoint resume needs tape_seed"
+        L_size = 1 << factored_lens(n.bit_length() - 1)[0]
+        blind_para = tape1.random_vector(b"poly_blinds", L_size)
+        blind_input = tape1.random_vector(b"poly_blinds", L_size)
+        blind_vars = [(a + b) % L for a, b in zip(blind_para, blind_input)]
+        poly_vars = _assignment_poly(full_vars, n)
+        return (poly_vars, PolyCommitment(cached["vars"]), blind_vars,
+                PolyCommitment(cached["para"]), PolyCommitment(cached["input"]))
+
     poly_para = _assignment_poly(vars_para, n)
     comm_para, blind_para = poly_commit(poly_para, gens.gens_r1cs_sat.gens_pc, tape1)
     poly_input = _assignment_poly(vars_input, n)
@@ -133,6 +150,10 @@ def cp_commit_witness(vars_para, vars_input,
     combined_rows = [(a + b).encode() for a, b in zip(pa, pi)]
     assert combined_rows == list(comm_vars.C), "commit homomorphism"
 
+    if ckpt is not None:
+        ckpt.save("witness_commit", {"para": list(comm_para.C),
+                                     "input": list(comm_input.C),
+                                     "vars": list(comm_vars.C)})
     return (poly_vars, comm_vars, blind_vars, comm_para, comm_input)
 
 
@@ -141,25 +162,39 @@ def cp_snark_prove(inst: R1CSInstance, full_vars: List[int], inputs: List[int],
                    poly_vars: DensePoly, comm_vars: PolyCommitment,
                    blind_vars: List[int], decomm=None,
                    tape_seed: Optional[int] = None,
-                   with_eval_proof: bool = False) -> CPSnarkProof:
+                   with_eval_proof: bool = False, ckpt=None) -> CPSnarkProof:
     """my_lib_prove (commit_test.rs:59-133)."""
     from ..utils.timer import Timer, span
     t_all = Timer("SNARK::prove")
     tape = RandomTape(b"proof", seed=tape_seed)
     transcript.append_protocol_name(SNARK_PROTOCOL)
 
-    n = gens.num_vars_padded
-    padded_vars = pad_assignment(full_vars, n)
-    with span("R1CSProof::prove"):
-        sat_proof, rx, ry = r1cs_prove_cp(
-            inst, padded_vars, inputs, gens.gens_r1cs_sat, transcript, tape,
-            poly_vars, comm_vars, blind_vars)
+    post_sat = ckpt.load("post_sat") if ckpt is not None else None
+    if post_sat is not None:
+        assert tape_seed is not None, "checkpoint resume needs tape_seed"
+        transcript.restore(post_sat["transcript"])
+        tape.restore(post_sat["tape"])
+        sat_proof = post_sat["sat_proof"]
+        rx, ry = post_sat["rx"], post_sat["ry"]
+        Ar, Br, Cr = post_sat["evals"]
+    else:
+        n = gens.num_vars_padded
+        padded_vars = pad_assignment(full_vars, n)
+        with span("R1CSProof::prove"):
+            sat_proof, rx, ry = r1cs_prove_cp(
+                inst, padded_vars, inputs, gens.gens_r1cs_sat, transcript,
+                tape, poly_vars, comm_vars, blind_vars, ckpt=ckpt)
 
-    with span("eval_sparse_polys"):
-        Ar, Br, Cr = inst.evaluate(rx, ry)
-    transcript.append_scalar(b"Ar_claim", Ar)
-    transcript.append_scalar(b"Br_claim", Br)
-    transcript.append_scalar(b"Cr_claim", Cr)
+        with span("eval_sparse_polys"):
+            Ar, Br, Cr = inst.evaluate(rx, ry)
+        transcript.append_scalar(b"Ar_claim", Ar)
+        transcript.append_scalar(b"Br_claim", Br)
+        transcript.append_scalar(b"Cr_claim", Cr)
+        if ckpt is not None:
+            ckpt.save("post_sat", {
+                "transcript": transcript.snapshot(), "tape": tape.snapshot(),
+                "sat_proof": sat_proof, "rx": rx, "ry": ry,
+                "evals": (Ar, Br, Cr)})
 
     eval_proof = None
     if with_eval_proof:

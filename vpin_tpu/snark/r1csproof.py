@@ -232,14 +232,14 @@ def _log2(n: int) -> int:
 def r1cs_prove_cp(inst: R1CSInstance, vars_ints: List[int], inputs: List[int],
                   gens: R1CSGens, transcript: Transcript, tape: RandomTape,
                   poly_vars: DensePoly, comm_vars: PolyCommitment,
-                  blinds_vars: List[int]):
+                  blinds_vars: List[int], ckpt=None):
     """my_R1CSProof_prove (commit_test.rs:136-334).  The CP deviation:
     the externally-combined commitment is appended and `input` is NOT."""
     transcript.append_protocol_name(R1CSProof.PROTOCOL)
     assert len(inputs) < _alen(vars_ints)
     comm_vars.append_to_transcript(b"poly_commitment", transcript)
     return _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
-                            poly_vars, comm_vars, blinds_vars)
+                            poly_vars, comm_vars, blinds_vars, ckpt=ckpt)
 
 
 def r1cs_prove_stock(inst: R1CSInstance, vars_ints: List[int],
@@ -264,7 +264,7 @@ def _alen(vals) -> int:
 
 
 def _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
-                     poly_vars, comm_vars, blinds_vars):
+                     poly_vars, comm_vars, blinds_vars, ckpt=None):
     from ..utils.timer import span
 
     from ..poly.dense import eq_evals_host
@@ -293,7 +293,8 @@ def _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
         sc_proof_phase1, rx, claims_phase1, blind_claim_postsc1 = \
             ZKSumcheckInstanceProof.prove_cubic_with_additive_term(
                 0, 0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz,
-                gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript, tape)
+                gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript, tape,
+                ckpt=ckpt, ckpt_key="sc1")
     tau_claim, Az_claim, Bz_claim, Cz_claim = claims_phase1
 
     Az_blind = tape.random_scalar(b"Az_blind")
@@ -349,7 +350,8 @@ def _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
             ZKSumcheckInstanceProof.prove_quad(
                 claim_phase2, blind_claim_phase2, num_rounds_y,
                 poly_z2, poly_abc,
-                gens.gens_sc.gens_1, gens.gens_sc.gens_3, transcript, tape)
+                gens.gens_sc.gens_1, gens.gens_sc.gens_3, transcript, tape,
+                ckpt=ckpt, ckpt_key="sc2")
 
     eval_vars_at_ry = poly_vars.evaluate(ry[1:])
     blind_eval = tape.random_scalar(b"blind_eval")

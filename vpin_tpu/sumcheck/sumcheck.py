@@ -27,6 +27,7 @@ from ..curve.rpoint import RPoint, msm_host
 from ..nizk.sigma import (
     DotProductProof, append_scalars_vector, commit1, commitN,
 )
+from ..utils.checkpoint import ROUNDS_PER_CHECKPOINT
 
 _INV2 = pow(2, -1, L)
 _INV6 = pow(6, -1, L)
@@ -400,8 +401,15 @@ class ZKSumcheckInstanceProof:
 
     @staticmethod
     def _prove_rounds(claim, blind_claim, num_rounds, polys, kind,
-                      gens_1, gens_n, transcript, tape):
-        """Shared round loop; kind in {'quad', 'cubic_additive'}."""
+                      gens_1, gens_n, transcript, tape,
+                      ckpt=None, ckpt_key=""):
+        """Shared round loop; kind in {'quad', 'cubic_additive'}.
+
+        ckpt/ckpt_key: optional CheckpointStore — every
+        ROUNDS_PER_CHECKPOINT rounds the sponge states + accumulated
+        protocol artifacts are persisted; on resume the bound tables are
+        rebuilt by replaying the recorded challenges (cheap elementwise
+        binds; no table serialization)."""
         from ..parallel.mesh import get_mesh
         blinds_poly = tape.random_vector(b"blinds_poly", num_rounds)
         blinds_evals = tape.random_vector(b"blinds_evals", num_rounds)
@@ -418,12 +426,43 @@ class ZKSumcheckInstanceProof:
         # masked fixed-shape path: single device, no mesh (the mesh path
         # shards the per-size tables instead)
         masked = (not host) and get_mesh() is None
+        tabs, n_phys, live = None, 0, 0
         if masked:
             tabs = tuple(p.Z for p in polys)
             n_phys = tabs[0].shape[0]
             live = n_phys
 
-        for j in range(num_rounds):
+        def bind(r_j):
+            nonlocal tabs, live, n_phys
+            if masked:
+                r_mont = FQ.to_mont([r_j])[0]
+                tabs = _masked_bind_kernel(n_phys, len(tabs))(
+                    jnp.int32(live // 2), r_mont, *tabs)
+                live //= 2
+                if live >= 1 and live * _COMPACT_FACTOR <= n_phys:
+                    tabs = tuple(t[:live] for t in tabs)
+                    n_phys = live
+            else:
+                for p in polys:
+                    p.bound_poly_var_top(r_j)
+
+        start_j = 0
+        if ckpt is not None:
+            snap = ckpt.load(ckpt_key)
+            if snap is not None and snap["num_rounds"] == num_rounds:
+                transcript.restore(snap["transcript"])
+                tape.restore(snap["tape"])
+                r = list(snap["r"])
+                comm_polys = list(snap["comm_polys"])
+                comm_evals = list(snap["comm_evals"])
+                proofs = list(snap["proofs"])
+                claim_per_round = snap["claim_per_round"]
+                comm_claim_per_round = snap["comm_claim_per_round"]
+                start_j = snap["j"]
+                for r_j in r:              # replay binds to round start_j
+                    bind(r_j)
+
+        for j in range(start_j, num_rounds):
             if host:
                 ev = _round_evals_host(kind, polys)
             elif masked:
@@ -446,17 +485,7 @@ class ZKSumcheckInstanceProof:
             comm_polys.append(comm_poly)
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
-            if masked:
-                r_mont = FQ.to_mont([r_j])[0]
-                tabs = _masked_bind_kernel(n_phys, len(tabs))(
-                    jnp.int32(live // 2), r_mont, *tabs)
-                live //= 2
-                if live >= 1 and live * _COMPACT_FACTOR <= n_phys:
-                    tabs = tuple(t[:live] for t in tabs)
-                    n_phys = live
-            else:
-                for p in polys:
-                    p.bound_poly_var_top(r_j)
+            bind(r_j)
 
             eval_r = poly.evaluate(r_j)
             comm_eval = commit1(eval_r, blinds_evals[j], gens_1).compress()
@@ -486,6 +515,18 @@ class ZKSumcheckInstanceProof:
             r.append(r_j)
             comm_evals.append(comm_eval)
 
+            if ckpt is not None and ((j + 1) % ROUNDS_PER_CHECKPOINT == 0
+                                     or j + 1 == num_rounds):
+                ckpt.save(ckpt_key, {
+                    "num_rounds": num_rounds, "j": j + 1,
+                    "transcript": transcript.snapshot(),
+                    "tape": tape.snapshot(),
+                    "r": list(r), "comm_polys": list(comm_polys),
+                    "comm_evals": list(comm_evals), "proofs": list(proofs),
+                    "claim_per_round": claim_per_round,
+                    "comm_claim_per_round": comm_claim_per_round,
+                })
+
         if masked:
             claims = [int(v) for v in
                       FQ.from_mont(jnp.stack([t[0] for t in tabs]))]
@@ -496,15 +537,18 @@ class ZKSumcheckInstanceProof:
 
     @staticmethod
     def prove_quad(claim, blind_claim, num_rounds, poly_A, poly_B,
-                   gens_1, gens_n, transcript, tape):
+                   gens_1, gens_n, transcript, tape,
+                   ckpt=None, ckpt_key=""):
         return ZKSumcheckInstanceProof._prove_rounds(
             claim, blind_claim, num_rounds, [poly_A, poly_B], "quad",
-            gens_1, gens_n, transcript, tape)
+            gens_1, gens_n, transcript, tape, ckpt=ckpt, ckpt_key=ckpt_key)
 
     @staticmethod
     def prove_cubic_with_additive_term(claim, blind_claim, num_rounds,
                                        poly_A, poly_B, poly_C, poly_D,
-                                       gens_1, gens_n, transcript, tape):
+                                       gens_1, gens_n, transcript, tape,
+                                       ckpt=None, ckpt_key=""):
         return ZKSumcheckInstanceProof._prove_rounds(
             claim, blind_claim, num_rounds, [poly_A, poly_B, poly_C, poly_D],
-            "cubic_additive", gens_1, gens_n, transcript, tape)
+            "cubic_additive", gens_1, gens_n, transcript, tape,
+            ckpt=ckpt, ckpt_key=ckpt_key)

@@ -120,6 +120,20 @@ class Strobe128:
         if force_f and self.pos != 0:
             self._run_f()
 
+    # -- checkpoint support ---------------------------------------------
+
+    def snapshot(self) -> tuple:
+        """Serializable sponge state (drives intra-proof checkpointing)."""
+        return (bytes(self.state), self.pos, self.pos_begin, self.cur_flags)
+
+    def restore(self, snap: tuple) -> None:
+        state, pos, pos_begin, cur_flags = snap
+        # write in place: the ctypes view (_stview) aliases self.state
+        self.state[:] = state
+        self.pos = pos
+        self.pos_begin = pos_begin
+        self.cur_flags = cur_flags
+
     # -- public ops (merlin subset) -------------------------------------
 
     def meta_ad(self, data: bytes, more: bool) -> None:

@@ -39,5 +39,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> bool:
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    try:
+        # serializing XLA's internal (autotune/kernel) caches into cache
+        # entries hard-aborts on some CPU executables (the round-2
+        # "serializer segfault"); the executable cache alone is what we
+        # want and it serializes fine
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:
+        pass
     _enabled = True
     return True
