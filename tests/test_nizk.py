@@ -59,3 +59,36 @@ def test_instance_digest_stable():
     assert d1 == instance_digest(inst)          # deterministic
     assert d1 == instance_digest(inst2)         # witness-independent
     assert d1 != instance_digest(inst3)         # size-dependent
+
+
+@pytest.mark.slow
+def test_bullet_device_path_n512():
+    """DotProductProofLog at n=512 exercises the foldless device bullet
+    prover (coefficient-tracked cached-table MSMs); the verifier fully
+    recomputes from the L/R bytes, so acceptance pins correctness."""
+    from vpin_tpu.nizk.sigma import (
+        DotProductProofLog, dot_product_proof_gens,
+    )
+    from vpin_tpu.transcript.merlin import RandomTape
+    from vpin_tpu.field.prime_field import L_MODULUS as L
+
+    n = 512
+    gens = dot_product_proof_gens(n, b"test_bullet_dev")
+    x = [RNG.randrange(L) for _ in range(n)]
+    a = [RNG.randrange(L) for _ in range(n)]
+    y = sum(xi * ai for xi, ai in zip(x, a)) % L
+    bx, by = RNG.randrange(L), RNG.randrange(L)
+
+    pt = Transcript(b"bullet_dev_test")
+    tape = RandomTape(b"proof", seed=7)
+    proof, Cx, Cy = DotProductProofLog.prove(gens, pt, tape, x, bx, a, y, by)
+
+    vt = Transcript(b"bullet_dev_test")
+    assert proof.verify(n, gens, vt, a, Cx, Cy)
+
+    # tampered L breaks it
+    bad = DotProductProofLog(proof.bullet, proof.delta, proof.beta,
+                             proof.z1, proof.z2)
+    bad.bullet.L_vec[0] = bytes(32)
+    vt2 = Transcript(b"bullet_dev_test")
+    assert bad.verify(n, gens, vt2, a, Cx, Cy) is False

@@ -301,7 +301,7 @@ class BulletReductionProof:
             return BulletReductionProof._prove_host(
                 transcript, Q, gens_n.Gh, H, a, b, blind, blinds_vec)
         return BulletReductionProof._prove_dev(
-            transcript, Q, gens_n.G, H, a, b, blind, blinds_vec)
+            transcript, Q, gens_n, H, a, b, blind, blinds_vec)
 
     @staticmethod
     def _prove_host(transcript, Q, G_list, H_pt, a, b, blind, blinds_vec):
@@ -344,55 +344,64 @@ class BulletReductionProof:
                 a[0], b[0], g_fin, blind_fin)
 
     @staticmethod
-    def _prove_dev(transcript, Q, G_pts, H_pt, a, b, blind, blinds_vec):
-        import numpy as np
+    def _prove_dev(transcript, Q, gens_n, H_pt, a, b, blind, blinds_vec):
+        """Foldless bullet rounds: after j rounds, folded generator k is a
+        known challenge-product combination of the ORIGINAL generators
+        (exactly the verifier's s-vector structure, bullet.rs:137-185), so
+        the prover never materializes folded vectors.  Per round it
+        combines scalars on the host (2n modmuls) and issues ONE gather
+        MSM per cross term against gens_n's CACHED digit table — replacing
+        two fresh table builds plus two 253-bit generator-fold ladders
+        (~1000 batched group ops) per round."""
         import jax.numpy as jnp
-        from ..curve.ristretto import RISTRETTO, PointE
-        from ..curve.weierstrass import scalars_to_bits
-        from ..commit.pedersen import msm_points
-        Rg = RISTRETTO
+        from ..curve.msm import host_digits
 
-        n = G_pts.x.shape[0]
+        n0 = gens_n.n
+        msm_t = gens_n.G_msm
         L_out, R_out = [], []
         blind_fin = blind % L
         bi = iter(blinds_vec)
-        G = G_pts
-        Qp, Hp = Q.p, H_pt.p
+        coef = [1] * n0                 # original-gen coefficients
+        cur = n0
 
-        def _with_QH(half):
-            return PointE(*(jnp.concatenate([c, q[None], h[None]], axis=0)
-                            for c, q, h in zip(half, Qp, Hp)))
+        def table_msm(scalars):
+            return RPoint.from_dev(msm_t.msm(jnp.asarray(host_digits(scalars))))
 
-        while n != 1:
-            n //= 2
-            a_Lh, a_R = a[:n], a[n:]
-            b_Lh, b_R = b[:n], b[n:]
-            G_L = PointE(*(c[:n] for c in G))
-            G_R = PointE(*(c[n:] for c in G))
-
+        while cur != 1:
+            m = cur // 2
+            a_Lh, a_R = a[:m], a[m:]
+            b_Lh, b_R = b[:m], b[m:]
             c_L = dot_ints(a_Lh, b_R)
             c_R = dot_ints(a_R, b_Lh)
             blind_L, blind_R = next(bi)
 
-            Lp = RPoint.from_dev(msm_points(a_Lh + [c_L, blind_L], _with_QH(G_R)))
-            Rp = RPoint.from_dev(msm_points(a_R + [c_R, blind_R], _with_QH(G_L)))
+            sL = [0] * n0
+            sR = [0] * n0
+            for i in range(n0):
+                p = i % cur
+                if p >= m:
+                    sL[i] = coef[i] * a_Lh[p - m] % L
+                else:
+                    sR[i] = coef[i] * a_R[p] % L
+            Lp = table_msm(sL) + Q.mul(c_L) + H_pt.mul(blind_L)
+            Rp = table_msm(sR) + Q.mul(c_R) + H_pt.mul(blind_R)
             Lc, Rc = Lp.compress(), Rp.compress()
             transcript.append_point(b"L", Lc)
             transcript.append_point(b"R", Rc)
             u = transcript.challenge_scalar(b"u")
             u_inv = pow(u, -1, L)
 
-            a = [(a_Lh[i] * u + u_inv * a_R[i]) % L for i in range(n)]
-            b = [(b_Lh[i] * u_inv + u * b_R[i]) % L for i in range(n)]
-            bits = np.asarray(scalars_to_bits([u_inv, u], 253))
-            G = Rg.padd(Rg.pscalar_mul_bits(G_L, bits[0]),
-                        Rg.pscalar_mul_bits(G_R, bits[1]))
+            a = [(a_Lh[i] * u + u_inv * a_R[i]) % L for i in range(m)]
+            b = [(b_Lh[i] * u_inv + u * b_R[i]) % L for i in range(m)]
+            for i in range(n0):
+                coef[i] = coef[i] * (u_inv if (i % cur) < m else u) % L
 
             blind_fin = (blind_fin + blind_L * u * u + blind_R * u_inv * u_inv) % L
             L_out.append(Lc)
             R_out.append(Rc)
+            cur = m
 
-        g_fin = RPoint.from_dev(PointE(*(c[0] for c in G)))
+        g_fin = table_msm(coef)
         Gamma_hat = msm_host([a[0], a[0] * b[0] % L, blind_fin],
                              [g_fin, Q, H_pt])
         return (BulletReductionProof(L_out, R_out), Gamma_hat,
