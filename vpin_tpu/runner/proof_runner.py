@@ -74,6 +74,7 @@ class ProofStats:
 
 def _prove_gadget(gadget_out, tape_seed: Optional[int], quiet: bool,
                   full_snark: bool = True, ckpt=None):
+    from ..utils.timer import span
     inst, vars_para, vars_input, vars_full, inputs, nc, nv, ni, nnz = gadget_out
 
     gens = SNARKGens(nc, nv, ni, nnz)
@@ -84,9 +85,10 @@ def _prove_gadget(gadget_out, tape_seed: Optional[int], quiet: bool,
     comm = decomm = None
     if full_snark:
         comm, decomm = snark_encode(inst, gens)
-    poly_vars, comm_vars, blind_vars, comm_para, comm_input = \
-        cp_commit_witness(vars_para, vars_input, vars_full, gens,
-                          tape_seed=tape_seed, ckpt=ckpt)
+    with span("witness_commit"):
+        poly_vars, comm_vars, blind_vars, comm_para, comm_input = \
+            cp_commit_witness(vars_para, vars_input, vars_full, gens,
+                              tape_seed=tape_seed, ckpt=ckpt)
 
     pt = Transcript(b"snark_example")
     proof = cp_snark_prove(inst, vars_full, inputs, gens, pt,
@@ -158,7 +160,9 @@ def prove_point_mult(weights, px, py, n_bits=128, tape_seed=None,
         print(f"Number of Point Multiplications: {len(weights)}")
     ckpt = _make_ckpt(ckpt_dir, "point_mult", len(weights), tape_seed,
                       n_bits=n_bits)
-    gadget = point_mult_gadget(weights, px, py, n=n_bits)
+    from ..utils.timer import span as _span
+    with _span("point_mult_gadget"):
+        gadget = point_mult_gadget(weights, px, py, n=n_bits)
     proof, inst, inputs, gens, comm_para, comm_input, comm = \
         _prove_gadget(gadget, tape_seed, quiet, full_snark=full_snark,
                       ckpt=ckpt)

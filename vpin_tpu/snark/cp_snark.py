@@ -110,6 +110,55 @@ def _assignment_poly(vals, n: int) -> DensePoly:
     return DensePoly.from_ints(padded)
 
 
+def _sparse_entries(vals, max_frac=1 / 64):
+    """[(index, value)] when vals is sparse enough for the sparse Hyrax
+    path, else None.  Accepts host int lists and Montgomery device
+    arrays (the gadget builders emit either)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..field.prime_field import FQ
+    if isinstance(vals, jnp.ndarray):
+        mask = np.asarray(jnp.any(vals != 0, axis=-1))
+        idx = np.nonzero(mask)[0]
+        if len(idx) > max(1, int(len(mask) * max_frac)):
+            return None
+        if len(idx) == 0:
+            return []
+        vs = [int(v) for v in FQ.from_mont(vals[jnp.asarray(idx)])]
+        return list(zip(idx.tolist(), vs))
+    idx = [i for i, v in enumerate(vals) if int(v) % L]
+    if len(idx) > max(1, int(len(vals) * max_frac)):
+        return None
+    return [(i, int(vals[i]) % L) for i in idx]
+
+
+def _hyrax_commit_sparse(n: int, entries, gens_pc, tape):
+    """Hyrax row commitments of a sparse assignment: row i commits as
+    blind_i*h + sum of its few value*G terms — host point arithmetic,
+    O(L + nnz) scalar-mults instead of a dense 2^ell MSM.  Blind draws
+    match poly_commit exactly (same tape labels/order), so the resulting
+    bytes equal the dense path's."""
+    from ..poly.dense import factored_lens
+    from ..curve import host_ristretto as _hr
+    ell = n.bit_length() - 1
+    lnv, rnv = factored_lens(ell)
+    L_size, R_size = 1 << lnv, 1 << rnv
+    blinds = tape.random_vector(b"poly_blinds", L_size)
+    gens_n = gens_pc.gens.gens_n
+    per_row = {}
+    for i, v in entries:
+        per_row.setdefault(i // R_size, []).append((i % R_size, v))
+    rows = []
+    for r in range(L_size):
+        scalars = [blinds[r]]
+        pts = [gens_n.hh]
+        for c, v in per_row.get(r, ()):
+            scalars.append(v)
+            pts.append(gens_n.Gh[c])
+        rows.append(_hr.msm(scalars, pts).encode())
+    return PolyCommitment(rows), blinds
+
+
 def cp_commit_witness(vars_para, vars_input,
                       full_vars, gens: SNARKGens,
                       tape_seed: Optional[int] = None, ckpt=None):
@@ -134,21 +183,32 @@ def cp_commit_witness(vars_para, vars_input,
         return (poly_vars, PolyCommitment(cached["vars"]), blind_vars,
                 PolyCommitment(cached["para"]), PolyCommitment(cached["input"]))
 
-    poly_para = _assignment_poly(vars_para, n)
-    comm_para, blind_para = poly_commit(poly_para, gens.gens_r1cs_sat.gens_pc, tape1)
+    gens_pc = gens.gens_r1cs_sat.gens_pc
+    sparse_para = _sparse_entries(vars_para)
+    if sparse_para is not None:
+        # vars_para is the scalars-only share: all-zero for point-add,
+        # one entry per mult for point-mult (reference point_mult.rs:517)
+        # — a dense 2^20-wide Hyrax MSM per row would be ~100% zeros.
+        # Sparse path: row commit = blind_i*h + sum of the few a*G terms.
+        comm_para, blind_para = _hyrax_commit_sparse(
+            n, sparse_para, gens_pc, tape1)
+    else:
+        poly_para = _assignment_poly(vars_para, n)
+        comm_para, blind_para = poly_commit(poly_para, gens_pc, tape1)
     poly_input = _assignment_poly(vars_input, n)
-    comm_input, blind_input = poly_commit(poly_input, gens.gens_r1cs_sat.gens_pc, tape1)
+    comm_input, blind_input = poly_commit(poly_input, gens_pc, tape1)
 
+    # combined commitment: the prover needs C(w) with blinds
+    # blind_para+blind_input; by the Pedersen homomorphism that is
+    # EXACTLY C_para[i] + C_input[i] row-wise (what the reference asserts
+    # after recommitting, proof_point_add.rs:69-78) — so derive it with
+    # L host point-adds instead of a third full Hyrax MSM pass.
     poly_vars = _assignment_poly(full_vars, n)
-    comm_vars, blind_vars = combined_commit(
-        poly_vars, gens.gens_r1cs_sat.gens_pc, blind_para, blind_input)
-
-    # homomorphism sanity check (proof_point_add.rs:69-78), host ints
+    blind_vars = [(a + b) % L for a, b in zip(blind_para, blind_input)]
     from ..curve import host_ristretto as _hr
-    pa = [_hr.decode(b) for b in comm_para.C]
-    pi = [_hr.decode(b) for b in comm_input.C]
-    combined_rows = [(a + b).encode() for a, b in zip(pa, pi)]
-    assert combined_rows == list(comm_vars.C), "commit homomorphism"
+    pa = [_hr.decode(bytes(b)) for b in comm_para.C]
+    pi = [_hr.decode(bytes(b)) for b in comm_input.C]
+    comm_vars = PolyCommitment([(a + b).encode() for a, b in zip(pa, pi)])
 
     if ckpt is not None:
         ckpt.save("witness_commit", {"para": list(comm_para.C),

@@ -17,6 +17,7 @@ from typing import List
 from ..field.prime_field import L_MODULUS as _L
 
 _R256 = (1 << 256) % _L
+_R256_INV = pow(_R256, -1, _L)
 
 
 class Writer:
@@ -83,23 +84,32 @@ class Reader:
         self.off = 0
 
     def u64(self) -> int:
+        if self.off + 8 > len(self.data):
+            raise ValueError("truncated buffer (u64)")
         v = struct.unpack_from("<Q", self.data, self.off)[0]
         self.off += 8
         return v
 
     def raw(self, n: int) -> bytes:
+        if self.off + n > len(self.data):
+            raise ValueError("truncated buffer (raw)")
         b = self.data[self.off:self.off + n]
         self.off += n
         return b
 
     def scalar(self) -> int:
-        return int.from_bytes(self.raw(32), "little") * pow(_R256, -1, _L) % _L
+        return int.from_bytes(self.raw(32), "little") * _R256_INV % _L
 
     def point(self) -> bytes:
         return self.raw(32)
 
     def vec(self, fn) -> List:
-        return [fn() for _ in range(self.u64())]
+        n = self.u64()
+        # every element occupies >= 1 byte; a corrupted/hostile length
+        # prefix must fail fast, not drive a multi-billion-element loop
+        if n > len(self.data) - self.off:
+            raise ValueError("vec length exceeds buffer")
+        return [fn() for _ in range(n)]
 
 
 # ----------------------------------------------------------------------
