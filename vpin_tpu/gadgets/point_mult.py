@@ -254,21 +254,25 @@ def point_mult_gadget(weights: List[int], mult_px: List[int],
     num_vars, num_inputs, nnz).  Above DEVICE_WITNESS_THRESHOLD variables
     (or with device=True) the assignments stay as Montgomery device
     arrays end-to-end (LeNet-L5 scale: no 2e7-int Python round trip)."""
+    from ..utils.timer import span
     N = len(weights)
-    A, B, C, num_cons, num_vars, num_inputs = build_matrices(N, n)
-    inst = R1CSInstance(num_cons, num_vars, num_inputs, A, B, C)
+    with span("build_matrices"):
+        A, B, C, num_cons, num_vars, num_inputs = build_matrices(N, n)
+    with span("R1CSInstance"):
+        inst = R1CSInstance(num_cons, num_vars, num_inputs, A, B, C)
     if device is None:
         device = num_vars > DEVICE_WITNESS_THRESHOLD
 
     for w in weights:
         assert 0 <= int(w) < (1 << n), "scalar exceeds gadget bit width"
 
-    bits = np.array([[(int(w) >> k) & 1 for k in range(n)] for w in weights],
-                    dtype=object)
-    bits_f = FQ.to_mont(bits)
-    px = FQ.to_mont(mult_px)
-    py = FQ.to_mont(mult_py)
-    outs = _mult_witness_scan(px, py, bits_f)
+    with span("witness_scan"):
+        bits = np.array([[(int(w) >> k) & 1 for k in range(n)]
+                         for w in weights], dtype=object)
+        bits_f = FQ.to_mont(bits)
+        px = FQ.to_mont(mult_px)
+        py = FQ.to_mont(mult_py)
+        outs = _mult_witness_scan(px, py, bits_f)
     # each out: (n, N, 16) -> (N, n, 16)
     (ax_pre, ay_pre, bx_pre, by_pre, bz_pre,
      dx, dy, bx_n, by_n, bz_n, cx, cy,
@@ -317,7 +321,8 @@ def point_mult_gadget(weights: List[int], mult_px: List[int],
         for jj in range(N):
             vars_input[n + onv * jj] = 0
 
-    assert inst.is_sat(vars_full, inputs), "point-mult gadget unsatisfied"
+    with span("is_sat"):
+        assert inst.is_sat(vars_full, inputs), "point-mult gadget unsatisfied"
     # SNARKGens sizing uses the ACTUAL max nnz: the reference passes its
     # hard-coded bucket estimate (point_mult.rs:29-56) instead, but
     # Spartan's commit gens only depend on next_pow2(nnz) and the bucket

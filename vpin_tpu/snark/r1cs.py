@@ -303,7 +303,28 @@ class R1CSInstance:
             return all(a * b % L == c
                        for a, b, c in zip(Az.Zh, Bz.Zh, Cz.Zh))
         lhs = FQ.mul(Az.Z, Bz.Z)
-        return bool(np.asarray(FQ.eq(lhs, Cz.Z)).all())
+        ok = bool(np.asarray(FQ.eq(lhs, Cz.Z)).all())
+        if ok:
+            # the prover recomputes exactly this multiply_vec over the
+            # same z (r1csproof._r1cs_prove_core); stash it so the
+            # gadget-build assert isn't paid twice at scale
+            self._sat_cache = (z, Az, Bz, Cz)
+        return ok
+
+    def consume_sat_cache(self, z):
+        """(Az, Bz, Cz) cached by a successful is_sat over a bit-equal z,
+        or None.  One device equality reduction guards against callers
+        proving a different assignment than they checked."""
+        cache = getattr(self, "_sat_cache", None)
+        if cache is None:
+            return None
+        self._sat_cache = None
+        zc, Az, Bz, Cz = cache
+        if isinstance(z, jnp.ndarray) and isinstance(zc, jnp.ndarray) \
+                and z.shape == zc.shape \
+                and bool(jnp.all(z == zc)):
+            return Az, Bz, Cz
+        return None
 
     def compute_eval_table_sparse(self, evals_rx):
         ncols = 2 * self.num_vars

@@ -287,7 +287,9 @@ def _r1cs_prove_core(inst, vars_ints, inputs, gens, transcript, tape,
 
     poly_tau = DensePoly(eq_evals_host(tau)) if host \
         else DensePoly(eq_evals(tau))
-    poly_Az, poly_Bz, poly_Cz = inst.multiply_vec(z)
+    cached_mv = inst.consume_sat_cache(z)
+    poly_Az, poly_Bz, poly_Cz = (cached_mv if cached_mv is not None
+                                 else inst.multiply_vec(z))
 
     with span("prove_sc_phase_one"):
         sc_proof_phase1, rx, claims_phase1, blind_claim_postsc1 = \
