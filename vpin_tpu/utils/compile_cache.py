@@ -26,18 +26,28 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _enabled = False
 
 
-def enable_compilation_cache(cache_dir: str | None = None) -> bool:
-    """Idempotent; returns True if the cache is active."""
+def enable_compilation_cache(cache_dir: str | None = None,
+                             readonly: bool | None = None) -> bool:
+    """Idempotent; returns True if the cache is active.
+
+    readonly (or VPIN_COMPILE_CACHE_READONLY=1): load cached executables
+    but never serialize new ones — the serializer hard-aborts (C++
+    abort, no Python exception to catch) on rare CPU executables, which
+    would kill an entire pytest run.  Interactive/bench/dryrun runs keep
+    writes on and populate the cache for everyone else."""
     global _enabled
     if _enabled:
         return True
     if os.environ.get("VPIN_COMPILE_CACHE", "1") == "0":
         return False
+    if readonly is None:
+        readonly = os.environ.get("VPIN_COMPILE_CACHE_READONLY", "0") == "1"
     import jax
     d = cache_dir or os.environ.get("VPIN_COMPILE_CACHE_DIR", _DEFAULT_DIR)
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      1e30 if readonly else 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     try:
         # serializing XLA's internal (autotune/kernel) caches into cache
