@@ -91,3 +91,29 @@ def test_cp_snark_point_add_end_to_end():
     vt2 = Transcript(b"snark_example")
     assert not cp_snark_verify(bad, inst, inputs, vt2, gens,
                                comm_para, comm_input)
+
+
+@pytest.mark.slow
+def test_point_mult_253bit_fallback():
+    """FC rLC-combined scalars can exceed 2^128; prove_point_mult must
+    fall back to the full-width 253-bit double-and-add circuit
+    (proof_runner.py n_bits escalation; the reference u128 loader would
+    panic here, load_data.rs:21-23)."""
+    import contextlib
+    import io
+
+    from vpin_tpu.curve.host_ec import E2_G_HOST, E2_ORDER
+    from vpin_tpu.runner.proof_runner import prove_point_mult
+
+    rng = random.Random(61)
+    w_wide = rng.randrange(1 << 200, 1 << 220)      # > 2^128
+    w_small = rng.randrange(1, 1 << 100)
+    ws, px, py = [], [], []
+    for w in (w_wide, w_small):
+        P = rng.randrange(1, E2_ORDER) * E2_G_HOST
+        ws.append(w)
+        px.append(P.x)
+        py.append(P.y)
+    with contextlib.redirect_stdout(io.StringIO()) as buf:
+        st = prove_point_mult(ws, px, py, tape_seed=13, full_snark=False)
+    assert st.size_bytes > 0        # prove_point_mult asserts verification
