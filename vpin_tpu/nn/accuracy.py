@@ -86,6 +86,33 @@ def forward_fixed_point_with_trunc(model, x, fraction_bits=FRACTION_BITS,
         return m.fc2(z)
 
 
+def load_mnist_idx(data_dir: str):
+    """Raw MNIST idx files (train-images-idx3-ubyte etc.) -> 32x32-padded
+    arrays, like the reference's torchvision Resize(32)
+    (train_test_lenet5.py:112-113).  Returns None when unavailable."""
+    import gzip
+    import os
+
+    def read(name, header):
+        for n in (name, name + ".gz"):
+            p = os.path.join(data_dir, n)
+            if os.path.exists(p):
+                op = gzip.open if n.endswith(".gz") else open
+                with op(p, "rb") as fh:
+                    buf = fh.read()
+                return np.frombuffer(buf, dtype=np.uint8)[header:]
+        return None
+
+    imgs = read("train-images-idx3-ubyte", 16)
+    labs = read("train-labels-idx1-ubyte", 8)
+    if imgs is None or labs is None:
+        return None
+    n = len(labs)
+    xs = imgs.reshape(n, 28, 28).astype(np.float32) / 255.0
+    xs = np.pad(xs, ((0, 0), (2, 2), (2, 2)))[:, None]
+    return xs, labs.astype(np.int64)
+
+
 def synthetic_dataset(n=512, seed=0):
     """32x32 inputs (the reference resizes MNIST 28->32,
     train_test_lenet5.py:112-113)."""
@@ -135,7 +162,24 @@ def run_accuracy_eval(data: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 
 
 if __name__ == "__main__":
-    fa, qa, ag = run_accuracy_eval()
+    import os
+    data = None
+    source = "SYNTHETIC separable dataset (no MNIST available; this " \
+             "environment has no network egress — results are NOT " \
+             "comparable to the reference's MNIST numbers, only the " \
+             "quantization pipeline is exercised)"
+    mnist_dir = os.environ.get("VPIN_MNIST_DIR")
+    if mnist_dir:
+        loaded = load_mnist_idx(mnist_dir)
+        if loaded is not None:
+            n = min(len(loaded[0]), 12_000)
+            data = (loaded[0][:n], loaded[1][:n])
+            source = f"MNIST idx files from {mnist_dir} ({n} samples); " \
+                     "reference E5 trains 10 epochs on the full set"
+    epochs = int(os.environ.get("VPIN_ACC_EPOCHS", "10" if data else "3"))
+    print(f"dataset: {source}")
+    print(f"epochs:  {epochs}")
+    fa, qa, ag = run_accuracy_eval(data=data, epochs=epochs)
     print(f"float accuracy:        {fa:.4f}")
     print(f"fixed-point accuracy:  {qa:.4f}")
     print(f"prediction agreement:  {ag:.4f}")
