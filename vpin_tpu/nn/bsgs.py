@@ -122,13 +122,27 @@ class BsgsTable:
         cnn_networks/Client.py:228-231)."""
         n = M.x.shape[0]
         max_steps = max_steps if max_steps is not None else 20_000
+        # adaptive stride: a big max_steps with a tiny K means tens of
+        # thousands of sequential device rounds; widen K (bounded by a
+        # ~2^21-candidate memory budget) so deep searches stay device-fat
+        # with few dispatches.  The early break keeps typical values fast.
+        if max_steps > 64 * stride_k:
+            stride_k = int(min(4096, max(stride_k, max_steps // 512),
+                               max(32, (1 << 21) // max(n, 1))))
         # chains: axis 0 = [+M, -M]
         chains = PointW(*(jnp.stack([c, d], axis=0)
                           for c, d in zip(M, E2.pneg(M))))
 
         # stride candidates: -i*m*G for i in 0..K-1, and the round hop -K*m*G
+        # (built by an incremental host add chain: K adds, not K full
+        # scalar-mults — matters once K is in the thousands)
         K = stride_k
-        neg_m_g = [(-(i * self.m)) % E2_ORDER * E2_G_HOST for i in range(K)]
+        step_pt = (-self.m) % E2_ORDER * E2_G_HOST
+        neg_m_g = []
+        acc = 0 * E2_G_HOST
+        for _ in range(K):
+            neg_m_g.append(acc)
+            acc = acc + step_pt
         S = E2.from_affine_host(neg_m_g)                       # (K,)
         hop = PointW(*(c[0] for c in E2.from_affine_host(
             [(-(K * self.m)) % E2_ORDER * E2_G_HOST])))
