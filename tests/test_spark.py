@@ -55,12 +55,15 @@ def test_sparse_poly_commit_eval_roundtrip():
     vt = Transcript(b"example")
     assert proof.verify(comm, rx, ry, evals, gens, vt)
 
-    # wrong evaluation must fail
+    # wrong evaluation must be rejected — cleanly (False) or by a clean
+    # decode/consistency error, never accepted
     bad = [(evals[0] + 1) % L] + evals[1:]
     vt2 = Transcript(b"example")
-    with pytest.raises(Exception):
+    try:
         ok = proof.verify(comm, rx, ry, bad, gens, vt2)
-        assert not ok
+    except Exception:
+        ok = False
+    assert ok is False
 
 
 @pytest.mark.slow
