@@ -156,12 +156,12 @@ def main():
             res = run_conv_workload(img, 3, key, random.Random(2),
                                     defer_checks=True)
             OUT["inference_warm_s"] = round(ph.seconds, 3)
-        OUT["num_mults"] = int(res.num_mults)
-        OUT["num_adds"] = int(res.num_adds)
+        OUT["num_mults"] = int(res.trace.num_mults)
+        OUT["num_adds"] = int(res.trace.num_adds)
         RESULT["value"] = round(OUT["inference_warm_s"], 3)
         warm.join(timeout=max(remaining() - 20, 0))
         with _phase("rlc check fetch") as ph:
-            res.engine.flush_checks()
+            res.flush_checks()
             OUT["rlc_check_s"] = round(ph.seconds, 3)
         if "rlc_check_s" in OUT:
             OUT["inference_warm_s"] = round(

@@ -51,9 +51,10 @@ def test_kill_mid_sumcheck_and_resume_byte_identical(tmp_path):
         st_ref = prove_point_add(*trace, tape_seed=21, full_snark=False)
 
     d = str(tmp_path / "ck")
-    meta = {"kind": "point_add", "count": 16, "tape_seed": 21, "n_bits": 0}
-    killer = _KillAfter(d, meta, kill_after=2)   # dies inside sc1/sc2
     from vpin_tpu.runner import proof_runner as pr
+    meta = {"kind": "point_add", "count": 16, "tape_seed": 21, "n_bits": 0,
+            "witness": pr._witness_digest(*trace)}
+    killer = _KillAfter(d, meta, kill_after=2)   # dies inside sc1/sc2
     from vpin_tpu.gadgets.point_addition import point_addition_gadget
     gadget = point_addition_gadget(*trace)
     with pytest.raises(KeyboardInterrupt):
@@ -80,7 +81,8 @@ def test_resume_after_sat_proof_skips_to_eval(tmp_path):
     from vpin_tpu.runner import proof_runner as pr
     from vpin_tpu.gadgets.point_addition import point_addition_gadget
     gadget = point_addition_gadget(*trace)
-    meta = {"kind": "point_add", "count": 4, "tape_seed": 5, "n_bits": 0}
+    meta = {"kind": "point_add", "count": 4, "tape_seed": 5, "n_bits": 0,
+            "witness": pr._witness_digest(*trace)}
 
     d = str(tmp_path / "ck2")
     proof1, *_ = pr._prove_gadget(gadget, 5, True, full_snark=False,
@@ -101,6 +103,18 @@ def test_meta_mismatch_rejected(tmp_path):
                                  "tape_seed": 5, "n_bits": 0})
 
 
+def test_witness_mismatch_rejected(tmp_path):
+    """Same shape, different witness: the resume must be refused (a stale
+    dir would otherwise silently serve the previous run's commitments)."""
+    d = str(tmp_path / "ck4")
+    from vpin_tpu.runner import proof_runner as pr
+    t1, t2 = _add_trace(4, seed=1), _add_trace(4, seed=2)
+    base = {"kind": "point_add", "count": 4, "tape_seed": 5, "n_bits": 0}
+    CheckpointStore(d, meta={**base, "witness": pr._witness_digest(*t1)})
+    with pytest.raises(ValueError):
+        CheckpointStore(d, meta={**base, "witness": pr._witness_digest(*t2)})
+
+
 @pytest.mark.slow
 def test_mult_checkpoint_resume(tmp_path):
     """Point-mult (the LeNet-dominant gadget): kill mid-proof, resume,
@@ -113,9 +127,10 @@ def test_mult_checkpoint_resume(tmp_path):
         px.append(P.x); py.append(P.y)
 
     d = str(tmp_path / "ckm")
-    meta = {"kind": "point_mult", "count": 2, "tape_seed": 9, "n_bits": 128}
-    killer = _KillAfter(d, meta, kill_after=3)
     from vpin_tpu.runner import proof_runner as pr
+    meta = {"kind": "point_mult", "count": 2, "tape_seed": 9, "n_bits": 128,
+            "witness": pr._witness_digest(ws, px, py)}
+    killer = _KillAfter(d, meta, kill_after=3)
     from vpin_tpu.gadgets.point_mult import point_mult_gadget
     gadget = point_mult_gadget(ws, px, py, n=128)
     with pytest.raises(KeyboardInterrupt):

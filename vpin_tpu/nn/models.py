@@ -67,10 +67,24 @@ class WorkloadResult:
     logits: Optional[np.ndarray] = None
     timings: Dict[str, float] = field(default_factory=dict)
     layer_slices: Optional[Dict[str, tuple]] = None
-    engine: Optional[HomomorphicEngine] = None   # set when checks deferred
+    engine: Optional[HomomorphicEngine] = None
+    #: True while rLC equality checks are still queued on ``engine``
+    #: (run with defer_checks=True); call flush_checks() to settle them.
+    checks_pending: bool = False
+
+    def flush_checks(self):
+        if self.checks_pending:
+            self.engine.flush_checks()
+            self.checks_pending = False
 
     @property
     def num_mults(self):
+        if self.checks_pending:
+            import warnings
+            warnings.warn("WorkloadResult: rLC equality checks were "
+                          "deferred and never flushed — call "
+                          "flush_checks() to verify the trace",
+                          stacklevel=2)
         return self.trace.num_mults
 
     @property
@@ -179,6 +193,7 @@ def run_conv_workload(image: np.ndarray, filter_size: int, key: KeyPair,
     res = WorkloadResult(eng.trace, timings={"encrypt": t1 - t0,
                                              "inference": t2 - t1})
     res.engine = eng
+    res.checks_pending = bool(defer_checks)
     return res
 
 

@@ -98,8 +98,22 @@ def _prove_gadget(gadget_out, tape_seed: Optional[int], quiet: bool,
     return proof, inst, inputs, gens, comm_para, comm_input, comm
 
 
+def _witness_digest(*arrays) -> str:
+    """Digest of the witness inputs so a checkpoint dir can never be
+    resumed against a DIFFERENT witness of the same shape (which would
+    silently reuse the previous run's commitments)."""
+    import hashlib
+    h = hashlib.sha256()
+    for arr in arrays:
+        for v in arr:
+            h.update(int(v).to_bytes(33, "little", signed=False))
+        h.update(b"|")
+    return h.hexdigest()[:32]
+
+
 def _make_ckpt(ckpt_dir: Optional[str], kind: str, count: int,
-               tape_seed: Optional[int], n_bits: int = 0):
+               tape_seed: Optional[int], n_bits: int = 0,
+               witness_digest: str = ""):
     """CheckpointStore bound to this exact proof run (SURVEY.md section 5:
     intra-proof resume for LeNet-L5-class runs)."""
     if ckpt_dir is None:
@@ -109,7 +123,7 @@ def _make_ckpt(ckpt_dir: Optional[str], kind: str, count: int,
         "checkpointed proofs need a deterministic tape_seed"
     return CheckpointStore(ckpt_dir, meta={
         "kind": kind, "count": count, "tape_seed": tape_seed,
-        "n_bits": n_bits})
+        "n_bits": n_bits, "witness": witness_digest})
 
 
 def prove_point_add(px, py, rx, ry, rz, tape_seed=None,
@@ -121,7 +135,10 @@ def prove_point_add(px, py, rx, ry, rz, tape_seed=None,
     if not quiet:
         print("Point Addition Gadget...")
         print(f"Number of Point Additions: {len(px)}")
-    ckpt = _make_ckpt(ckpt_dir, "point_add", len(px), tape_seed)
+    ckpt = _make_ckpt(ckpt_dir, "point_add", len(px), tape_seed,
+                      witness_digest=(
+                          _witness_digest(px, py, rx, ry, rz)
+                          if ckpt_dir else ""))
     gadget = point_addition_gadget(px, py, rx, ry, rz)
     proof, inst, inputs, gens, comm_para, comm_input, comm = \
         _prove_gadget(gadget, tape_seed, quiet, full_snark=full_snark,
@@ -159,7 +176,9 @@ def prove_point_mult(weights, px, py, n_bits=128, tape_seed=None,
         print("Point Multiplication Gadget...")
         print(f"Number of Point Multiplications: {len(weights)}")
     ckpt = _make_ckpt(ckpt_dir, "point_mult", len(weights), tape_seed,
-                      n_bits=n_bits)
+                      n_bits=n_bits,
+                      witness_digest=(_witness_digest(weights, px, py)
+                                      if ckpt_dir else ""))
     from ..utils.timer import span as _span
     with _span("point_mult_gadget"):
         gadget = point_mult_gadget(weights, px, py, n=n_bits)

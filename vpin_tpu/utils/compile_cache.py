@@ -18,12 +18,44 @@ VPIN_COMPILE_CACHE=0.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
-_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+_CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
 
 _enabled = False
+
+
+def machine_tag() -> str:
+    """Short digest of this machine's CPU feature set + jax version.
+
+    XLA CPU AOT executables are compiled with the builder machine's CPU
+    features baked in; loading them on a different machine type aborts
+    the process uncatchably (SIGILL-class — XLA's own E0821 warning:
+    "Compile machine features ... doesn't match ... could lead to
+    execution errors such as SIGILL").  Keying the cache directory by a
+    machine signature makes a stale cache from another machine simply
+    invisible instead of fatal."""
+    sig = [platform.machine(), platform.system()]
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    sig.append(line.strip())
+                    break
+    except OSError:
+        pass
+    try:
+        import jax
+        sig.append(jax.__version__)
+    except Exception:
+        pass
+    return hashlib.sha256("|".join(sig).encode()).hexdigest()[:12]
+
+
+_DEFAULT_DIR = os.path.join(_CACHE_ROOT, machine_tag())
 
 
 def enable_compilation_cache(cache_dir: str | None = None,
