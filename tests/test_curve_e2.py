@@ -91,3 +91,44 @@ def test_affine_roundtrip_and_eq():
     back = E2.from_affine(x, y, inf)
     assert list(np.asarray(E2.eq(dP, back))) == [True] * 4
     assert list(np.asarray(E2.is_infinity(dP))) == [False, False, False, True]
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_fused_pallas_add_bit_identical():
+    """pallas_ec fused add == jnp path, bit-for-bit, incl. infinity and
+    doubling cases (interpret mode off-TPU)."""
+    from vpin_tpu.curve.pallas_ec import ec_add_pallas
+
+    n = 130
+    Ps = rand_host_points(4) * 33
+    Qs = rand_host_points(4) * 33
+    Ps = Ps[:n]; Qs = Qs[:n]
+    Ps[0] = host_infinity()
+    Qs[1] = Ps[1]                       # doubling case
+    dP = E2.from_affine_host(Ps)
+    dQ = E2.from_affine_host(Qs)
+    ref = E2._add_jnp(dP, dQ)
+    fused = ec_add_pallas(E2, dP, dQ, interpret=True)
+    for a, b in zip(ref, fused):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_fused_pallas_ladder_step_bit_identical():
+    from vpin_tpu.curve.pallas_ec import ec_ladder_step_pallas
+
+    Ps = rand_host_points(2) * 65
+    Qs = rand_host_points(2) * 65
+    dP = E2.from_affine_host(Ps)
+    dQ = E2.from_affine_host(Qs)
+    bits = np.asarray([i % 2 for i in range(130)], np.uint32)
+    added = E2._add_jnp(dP, dQ)
+    acc_ref = E2.select(bits == 1, added, dP)
+    base_ref = E2._add_jnp(dQ, dQ)
+    acc_f, base_f = ec_ladder_step_pallas(E2, dP, dQ, bits, interpret=True)
+    for a, b in zip(list(acc_ref) + list(base_ref),
+                    list(acc_f) + list(base_f)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -118,6 +118,16 @@ class RistrettoGroup(PaddedOps):
         return [s[i] for i in range(len(xs))]
 
     def add(self, Pp: PointE, Q: PointE) -> PointE:
+        from ..field.prime_field import _pallas_wanted
+        if _pallas_wanted():
+            n = int(np.prod(jnp.broadcast_shapes(
+                Pp.x.shape[:-1], Q.x.shape[:-1]), dtype=int))
+            if n >= 128:
+                from .pallas_edwards import ed_add_pallas
+                return ed_add_pallas(self, Pp, Q)
+        return self._add_jnp(Pp, Q)
+
+    def _add_jnp(self, Pp: PointE, Q: PointE) -> PointE:
         F = self.F
         shape = jnp.broadcast_shapes(Pp.x.shape, Q.x.shape)
         X1, Y1, Z1, T1 = (jnp.broadcast_to(v, shape) for v in Pp)
@@ -159,12 +169,23 @@ class RistrettoGroup(PaddedOps):
         one = zx + self.F.R_dev
         acc0 = PointE(zx, one, one, jnp.zeros_like(Pp.t))
 
-        def body(carry, i):
-            acc, base = carry
-            bit = jnp.take(bits, i, axis=-1)
-            acc = self.select(bit == 1, self.add(acc, base), acc)
-            base = self.add(base, base)
-            return (acc, base), None
+        from ..field.prime_field import _pallas_wanted
+        batch = int(np.prod(jnp.broadcast_shapes(
+            Pp.x.shape[:-1], bits.shape[:-1]), dtype=int))
+        if _pallas_wanted() and batch >= 128:
+            from .pallas_edwards import ed_ladder_step_pallas
+
+            def body(carry, i):
+                acc, base = carry
+                bit = jnp.take(bits, i, axis=-1)
+                return ed_ladder_step_pallas(self, acc, base, bit), None
+        else:
+            def body(carry, i):
+                acc, base = carry
+                bit = jnp.take(bits, i, axis=-1)
+                acc = self.select(bit == 1, self.add(acc, base), acc)
+                base = self.add(base, base)
+                return (acc, base), None
 
         (acc, _), _ = jax.lax.scan(body, (acc0, Pp), jnp.arange(bits.shape[-1]))
         return acc

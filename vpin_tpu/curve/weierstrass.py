@@ -139,8 +139,20 @@ class WeierstrassCurve(PaddedOps):
 
     def add(self, P: PointW, Q: PointW) -> PointW:
         """Complete projective addition (RCB15 Alg. 1, general a); valid
-        for every input pair.  The 12 generic + 5 constant multiplications
-        are packed into 4 stacked field-muls by dependency stage."""
+        for every input pair.  Large batches dispatch to the fully fused
+        Pallas kernel (pallas_ec.py: all 17 field muls in VMEM, one
+        launch); the jnp path packs the muls into 4 stacked field-muls
+        by dependency stage."""
+        from ..field.prime_field import _pallas_wanted
+        if _pallas_wanted():
+            n = int(np.prod(jnp.broadcast_shapes(
+                P.x.shape[:-1], Q.x.shape[:-1]), dtype=int))
+            if n >= 128:
+                from .pallas_ec import ec_add_pallas
+                return ec_add_pallas(self, P, Q)
+        return self._add_jnp(P, Q)
+
+    def _add_jnp(self, P: PointW, Q: PointW) -> PointW:
         F = self.F
         shape = jnp.broadcast_shapes(P.x.shape, Q.x.shape)
         X1, Y1, Z1 = (jnp.broadcast_to(v, shape) for v in P)
@@ -232,13 +244,26 @@ class WeierstrassCurve(PaddedOps):
         zx = jnp.zeros_like(P.x)
         acc0 = PointW(zx, zx + self.F.R_dev, jnp.zeros_like(P.z))
 
-        def body(carry, i):
-            acc, base = carry
-            bit = jnp.take(bits, i, axis=-1)
-            added = self.add(acc, base)
-            acc = self.select(bit == 1, added, acc)
-            base = self.add(base, base)
-            return (acc, base), None
+        from ..field.prime_field import _pallas_wanted
+        batch = int(np.prod(jnp.broadcast_shapes(
+            P.x.shape[:-1], bits.shape[:-1]), dtype=int))
+        if _pallas_wanted() and batch >= 128:
+            # fused ladder step: acc+base, 2*base and the bit-select in
+            # ONE kernel launch per bit
+            from .pallas_ec import ec_ladder_step_pallas
+
+            def body(carry, i):
+                acc, base = carry
+                bit = jnp.take(bits, i, axis=-1)
+                return ec_ladder_step_pallas(self, acc, base, bit), None
+        else:
+            def body(carry, i):
+                acc, base = carry
+                bit = jnp.take(bits, i, axis=-1)
+                added = self.add(acc, base)
+                acc = self.select(bit == 1, added, acc)
+                base = self.add(base, base)
+                return (acc, base), None
 
         (acc, _), _ = jax.lax.scan(body, (acc0, P), jnp.arange(n_bits))
         return acc
