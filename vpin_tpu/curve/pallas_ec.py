@@ -119,14 +119,17 @@ def _load_consts(a_ref, b3_ref, n_ref, nprime_ref, ncomp_ref, shape):
 def _ec_add_kernel(x1, y1, z1, x2, y2, z2,
                    a_ref, b3_ref, n_ref, nprime_ref, ncomp_ref,
                    ox, oy, oz):
-    p1 = (x1[:].T, y1[:].T, z1[:].T)
-    p2 = (x2[:].T, y2[:].T, z2[:].T)
+    # operands arrive in (limb, batch) rows layout: minor dim a lane
+    # multiple, so XLA's operand copies tile compactly (a (n, 16) minor
+    # dim would pad 16 -> 128 lanes: 8x HBM expansion per temp)
+    p1 = (x1[:], y1[:], z1[:])
+    p2 = (x2[:], y2[:], z2[:])
     A, B3, N, NP, NC = _load_consts(a_ref, b3_ref, n_ref, nprime_ref,
                                     ncomp_ref, p1[0].shape)
     X3, Y3, Z3 = _ec_add_rows(p1, p2, A, B3, N, NP, NC)
-    ox[:] = X3.T
-    oy[:] = Y3.T
-    oz[:] = Z3.T
+    ox[:] = X3
+    oy[:] = Y3
+    oz[:] = Z3
 
 
 def _ladder_step_kernel(ax, ay, az, bx, by, bz, bits,
@@ -134,19 +137,19 @@ def _ladder_step_kernel(ax, ay, az, bx, by, bz, bits,
                         oax, oay, oaz, obx, oby, obz):
     """One double-and-add step: acc' = bit ? acc+base : acc;
     base' = base+base.  Two fused additions, one launch."""
-    acc = (ax[:].T, ay[:].T, az[:].T)
-    base = (bx[:].T, by[:].T, bz[:].T)
+    acc = (ax[:], ay[:], az[:])
+    base = (bx[:], by[:], bz[:])
     A, B3, N, NP, NC = _load_consts(a_ref, b3_ref, n_ref, nprime_ref,
                                     ncomp_ref, acc[0].shape)
     added = _ec_add_rows(acc, base, A, B3, N, NP, NC)
     dbl = _ec_add_rows(base, base, A, B3, N, NP, NC)
-    take = (bits[:].T == 1)                    # bits block: (TILE, 1)
-    oax[:] = jnp.where(take, added[0], acc[0]).T
-    oay[:] = jnp.where(take, added[1], acc[1]).T
-    oaz[:] = jnp.where(take, added[2], acc[2]).T
-    obx[:] = dbl[0].T
-    oby[:] = dbl[1].T
-    obz[:] = dbl[2].T
+    take = (bits[:] == 1)                      # bits block: (1, TILE)
+    oax[:] = jnp.where(take, added[0], acc[0])
+    oay[:] = jnp.where(take, added[1], acc[1])
+    oaz[:] = jnp.where(take, added[2], acc[2])
+    obx[:] = dbl[0]
+    oby[:] = dbl[1]
+    obz[:] = dbl[2]
 
 
 @functools.lru_cache(maxsize=None)
@@ -163,13 +166,13 @@ def _ec_add_call(modulus: int, nprime: int, a_mont: int, b3_mont: int,
 
     @jax.jit
     def run(x1, y1, z1, x2, y2, z2):
-        n = x1.shape[0]
+        n = x1.shape[1]
         grid = (n // TILE,)
-        spec = pl.BlockSpec((TILE, N_LIMBS), lambda i: (i, 0),
+        spec = pl.BlockSpec((N_LIMBS, TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((N_LIMBS,), lambda i: (0,),
                              memory_space=pltpu.VMEM)
-        out = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
+        out = jax.ShapeDtypeStruct((N_LIMBS, n), jnp.uint32)
         return pl.pallas_call(
             _ec_add_kernel,
             out_shape=(out, out, out),
@@ -189,18 +192,18 @@ def _ladder_step_call(modulus: int, nprime: int, a_mont: int, b3_mont: int,
 
     @jax.jit
     def run(ax, ay, az, bx, by, bz, bits):
-        n = ax.shape[0]
+        n = ax.shape[1]
         grid = (n // TILE,)
-        spec = pl.BlockSpec((TILE, N_LIMBS), lambda i: (i, 0),
+        spec = pl.BlockSpec((N_LIMBS, TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-        # bits ride as (n, 1): 1-D operands with partial blocks trip a
+        # bits ride as (1, n): 1-D operands with partial blocks trip a
         # Mosaic/XLA layout mismatch (T(1024) vs T(512)) when grid > 1
-        bits = bits.reshape(-1, 1)
-        bspec = pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+        bits = bits.reshape(1, -1)
+        bspec = pl.BlockSpec((1, TILE), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((N_LIMBS,), lambda i: (0,),
                              memory_space=pltpu.VMEM)
-        out = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
+        out = jax.ShapeDtypeStruct((N_LIMBS, n), jnp.uint32)
         return pl.pallas_call(
             _ladder_step_kernel,
             out_shape=(out,) * 6,
@@ -221,13 +224,15 @@ def _curve_key(curve):
 
 
 def _flatten_pad(arrs, shape):
+    """-> list of (16, n_pad) rows-layout arrays + live count.  The
+    transpose keeps every program temp compactly tiled (see kernel)."""
     flat = []
     n = int(np.prod(shape, dtype=int)) if shape else 1
     n_pad = max(-(-n // TILE) * TILE, TILE)
     for t in arrs:
-        t = jnp.broadcast_to(t, shape + (N_LIMBS,)).reshape(-1, N_LIMBS)
+        t = jnp.broadcast_to(t, shape + (N_LIMBS,)).reshape(-1, N_LIMBS).T
         if n_pad != n:
-            t = jnp.pad(t, ((0, n_pad - n), (0, 0)))
+            t = jnp.pad(t, ((0, 0), (0, n_pad - n)))
         flat.append(t)
     return flat, n
 
@@ -239,9 +244,9 @@ def ec_add_pallas(curve, P, Q, interpret: bool | None = None):
     shape = jnp.broadcast_shapes(P.x.shape[:-1], Q.x.shape[:-1])
     flat, n = _flatten_pad(list(P) + list(Q), shape)
     ox, oy, oz = _ec_add_call(*_curve_key(curve), interpret)(*flat)
-    return type(P)(ox[:n].reshape(shape + (N_LIMBS,)),
-                   oy[:n].reshape(shape + (N_LIMBS,)),
-                   oz[:n].reshape(shape + (N_LIMBS,)))
+    return type(P)(ox.T[:n].reshape(shape + (N_LIMBS,)),
+                   oy.T[:n].reshape(shape + (N_LIMBS,)),
+                   oz.T[:n].reshape(shape + (N_LIMBS,)))
 
 
 def ec_ladder_step_pallas(curve, acc, base, bit, interpret: bool | None = None):
@@ -253,8 +258,8 @@ def ec_ladder_step_pallas(curve, acc, base, bit, interpret: bool | None = None):
                                  bit.shape)
     flat, n = _flatten_pad(list(acc) + list(base), shape)
     bits = jnp.broadcast_to(bit, shape).reshape(-1)
-    if flat[0].shape[0] != bits.shape[0]:
-        bits = jnp.pad(bits, (0, flat[0].shape[0] - bits.shape[0]))
+    if flat[0].shape[1] != bits.shape[0]:
+        bits = jnp.pad(bits, (0, flat[0].shape[1] - bits.shape[0]))
     outs = _ladder_step_call(*_curve_key(curve), interpret)(*flat, bits)
-    pts = [t[:n].reshape(shape + (N_LIMBS,)) for t in outs]
+    pts = [t.T[:n].reshape(shape + (N_LIMBS,)) for t in outs]
     return (type(acc)(*pts[:3]), type(acc)(*pts[3:]))

@@ -58,30 +58,32 @@ def _consts(d2_ref, n_ref, nprime_ref, ncomp_ref, shape):
 def _ed_add_kernel(x1, y1, z1, t1, x2, y2, z2, t2,
                    d2_ref, n_ref, nprime_ref, ncomp_ref,
                    ox, oy, oz, ot):
-    p1 = (x1[:].T, y1[:].T, z1[:].T, t1[:].T)
-    p2 = (x2[:].T, y2[:].T, z2[:].T, t2[:].T)
+    # (limb, batch) rows layout end-to-end: minor dim a lane multiple, so
+    # XLA operand copies tile compactly (see pallas_ec.py)
+    p1 = (x1[:], y1[:], z1[:], t1[:])
+    p2 = (x2[:], y2[:], z2[:], t2[:])
     D2, N, NP, NC = _consts(d2_ref, n_ref, nprime_ref, ncomp_ref, p1[0].shape)
     X3, Y3, Z3, T3 = _ed_add_rows(p1, p2, D2, N, NP, NC)
-    ox[:] = X3.T
-    oy[:] = Y3.T
-    oz[:] = Z3.T
-    ot[:] = T3.T
+    ox[:] = X3
+    oy[:] = Y3
+    oz[:] = Z3
+    ot[:] = T3
 
 
 def _ed_ladder_kernel(ax, ay, az, at, bx, by, bz, bt, bits,
                       d2_ref, n_ref, nprime_ref, ncomp_ref,
                       oax, oay, oaz, oat, obx, oby, obz, obt):
-    acc = (ax[:].T, ay[:].T, az[:].T, at[:].T)
-    base = (bx[:].T, by[:].T, bz[:].T, bt[:].T)
+    acc = (ax[:], ay[:], az[:], at[:])
+    base = (bx[:], by[:], bz[:], bt[:])
     D2, N, NP, NC = _consts(d2_ref, n_ref, nprime_ref, ncomp_ref,
                             acc[0].shape)
     added = _ed_add_rows(acc, base, D2, N, NP, NC)
     dbl = _ed_add_rows(base, base, D2, N, NP, NC)
-    take = (bits[:].T == 1)                    # bits block: (TILE, 1)
+    take = (bits[:] == 1)                      # bits block: (1, TILE)
     for o, a, b in zip((oax, oay, oaz, oat), added, acc):
-        o[:] = jnp.where(take, a, b).T
+        o[:] = jnp.where(take, a, b)
     for o, d in zip((obx, oby, obz, obt), dbl):
-        o[:] = d.T
+        o[:] = d
 
 
 @functools.lru_cache(maxsize=None)
@@ -96,13 +98,13 @@ def _ed_add_call(modulus: int, nprime: int, d2_mont: int, interpret: bool):
 
     @jax.jit
     def run(*coords):
-        n = coords[0].shape[0]
+        n = coords[0].shape[1]
         grid = (n // TILE,)
-        spec = pl.BlockSpec((TILE, N_LIMBS), lambda i: (i, 0),
+        spec = pl.BlockSpec((N_LIMBS, TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((N_LIMBS,), lambda i: (0,),
                              memory_space=pltpu.VMEM)
-        out = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
+        out = jax.ShapeDtypeStruct((N_LIMBS, n), jnp.uint32)
         return pl.pallas_call(
             _ed_add_kernel,
             out_shape=(out,) * 4,
@@ -121,18 +123,18 @@ def _ed_ladder_call(modulus: int, nprime: int, d2_mont: int, interpret: bool):
 
     @jax.jit
     def run(*args):
-        n = args[0].shape[0]
+        n = args[0].shape[1]
         grid = (n // TILE,)
-        spec = pl.BlockSpec((TILE, N_LIMBS), lambda i: (i, 0),
+        spec = pl.BlockSpec((N_LIMBS, TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-        # bits ride as (n, 1): 1-D operands with partial blocks trip a
+        # bits ride as (1, n): 1-D operands with partial blocks trip a
         # Mosaic/XLA layout mismatch when grid > 1 (see pallas_ec.py)
-        args = args[:8] + (args[8].reshape(-1, 1),)
-        bspec = pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+        args = args[:8] + (args[8].reshape(1, -1),)
+        bspec = pl.BlockSpec((1, TILE), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((N_LIMBS,), lambda i: (0,),
                              memory_space=pltpu.VMEM)
-        out = jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32)
+        out = jax.ShapeDtypeStruct((N_LIMBS, n), jnp.uint32)
         return pl.pallas_call(
             _ed_ladder_kernel,
             out_shape=(out,) * 8,
@@ -153,13 +155,14 @@ def _group_key(group):
 
 
 def _flatten_pad(arrs, shape):
+    """-> list of (16, n_pad) rows-layout arrays + live count."""
     flat = []
     n = int(np.prod(shape, dtype=int)) if shape else 1
     n_pad = max(-(-n // TILE) * TILE, TILE)
     for t in arrs:
-        t = jnp.broadcast_to(t, shape + (N_LIMBS,)).reshape(-1, N_LIMBS)
+        t = jnp.broadcast_to(t, shape + (N_LIMBS,)).reshape(-1, N_LIMBS).T
         if n_pad != n:
-            t = jnp.pad(t, ((0, n_pad - n), (0, 0)))
+            t = jnp.pad(t, ((0, 0), (0, n_pad - n)))
         flat.append(t)
     return flat, n
 
@@ -171,7 +174,7 @@ def ed_add_pallas(group, P, Q, interpret: bool | None = None):
     shape = jnp.broadcast_shapes(P.x.shape[:-1], Q.x.shape[:-1])
     flat, n = _flatten_pad(list(P) + list(Q), shape)
     outs = _ed_add_call(*_group_key(group), interpret)(*flat)
-    return type(P)(*(t[:n].reshape(shape + (N_LIMBS,)) for t in outs))
+    return type(P)(*(t.T[:n].reshape(shape + (N_LIMBS,)) for t in outs))
 
 
 def ed_ladder_step_pallas(group, acc, base, bit,
@@ -184,8 +187,8 @@ def ed_ladder_step_pallas(group, acc, base, bit,
                                  bit.shape)
     flat, n = _flatten_pad(list(acc) + list(base), shape)
     bits = jnp.broadcast_to(bit, shape).reshape(-1)
-    if flat[0].shape[0] != bits.shape[0]:
-        bits = jnp.pad(bits, (0, flat[0].shape[0] - bits.shape[0]))
+    if flat[0].shape[1] != bits.shape[0]:
+        bits = jnp.pad(bits, (0, flat[0].shape[1] - bits.shape[0]))
     outs = _ed_ladder_call(*_group_key(group), interpret)(*flat, bits)
-    pts = [t[:n].reshape(shape + (N_LIMBS,)) for t in outs]
+    pts = [t.T[:n].reshape(shape + (N_LIMBS,)) for t in outs]
     return (type(acc)(*pts[:4]), type(acc)(*pts[4:]))

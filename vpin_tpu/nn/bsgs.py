@@ -121,7 +121,10 @@ class BsgsTable:
         and -M chains (reference dual-chain negative handling,
         cnn_networks/Client.py:228-231)."""
         n = M.x.shape[0]
-        max_steps = max_steps if max_steps is not None else 20_000
+        # default = m giant steps, the reference's cap (giant_step loops up
+        # to m times, cnn_networks/Client.py:188-213); the early break
+        # below keeps small values as cheap as a small cap would
+        max_steps = max_steps if max_steps is not None else self.m
         # adaptive stride: a big max_steps with a tiny K means tens of
         # thousands of sequential device rounds; widen K (bounded by a
         # ~2^21-candidate memory budget) so deep searches stay device-fat
