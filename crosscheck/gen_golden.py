@@ -155,10 +155,48 @@ def challenge_streams_mult():
     }
 
 
+def challenge_streams_mult_full_snark():
+    """Point-mult CP-SNARK WITH the SPARK eval proof — the dominant
+    real-run transcript (every reference run proves the 27n+8 circuit
+    through main.rs:14-46 with the full eval proof).  Pins the
+    mult+SPARK challenge stream and proof bytes at n=128."""
+    from vpin_tpu.transcript.merlin import Transcript
+    from vpin_tpu.snark import (
+        SNARKGens, cp_commit_witness, cp_snark_prove, cp_snark_verify,
+        snark_encode,
+    )
+
+    inst, vp, vi, vf, inputs, nc, nv, ni, nnz = build_mult_fixture()
+    gens = SNARKGens(nc, nv, ni, nnz)
+    comm, decomm = snark_encode(inst, gens)
+    poly_vars, comm_vars, blind_vars, comm_para, comm_input = \
+        cp_commit_witness(vp, vi, vf, gens, tape_seed=11)
+
+    prover_log = []
+    pt = Transcript(b"snark_example", log=prover_log)
+    proof = cp_snark_prove(inst, vf, inputs, gens, pt, poly_vars, comm_vars,
+                           blind_vars, decomm=decomm, tape_seed=11,
+                           with_eval_proof=True)
+
+    verifier_log = []
+    vt = Transcript(b"snark_example", log=verifier_log)
+    assert cp_snark_verify(proof, inst, inputs, vt, gens,
+                           comm_para, comm_input, comm=comm)
+
+    from vpin_tpu.utils.bincode import serialize_snark
+    return {
+        "fixture": "point_mult_cp_2mults_n128_seed2025_tape11_full_snark",
+        "prover_challenges": prover_log,
+        "verifier_challenges": verifier_log,
+        "proof_hex": serialize_snark(proof).hex(),
+    }
+
+
 FIXTURES = {
     "point_add_cp_challenges.json": challenge_streams,
     "point_add_cp_full_snark_challenges.json": challenge_streams_full_snark,
     "point_mult_cp_challenges.json": challenge_streams_mult,
+    "point_mult_cp_full_snark_challenges.json": challenge_streams_mult_full_snark,
 }
 
 

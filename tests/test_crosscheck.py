@@ -42,6 +42,7 @@ FIXTURE_FILES = {
     "add_transparent": "point_add_cp_challenges.json",
     "add_full_snark": "point_add_cp_full_snark_challenges.json",
     "mult_transparent": "point_mult_cp_challenges.json",
+    "mult_full_snark": "point_mult_cp_full_snark_challenges.json",
 }
 
 
@@ -61,6 +62,17 @@ def case(request):
     name = request.param
     with open(os.path.join(GOLDEN_DIR, FIXTURE_FILES[name])) as fh:
         golden = json.load(fh)
+
+    if name == "mult_full_snark":
+        # the 2-mult SPARK pipeline (16k-nnz shapes) is generated and
+        # replayed in host-int mode: bit-identical bytes (host/device
+        # equivalence is covered by test_spark), minutes faster on the
+        # CPU test mesh
+        import vpin_tpu.poly.dense as _pd
+        request.addfinalizer(
+            lambda old=_pd.HOST_POLY_MAX:
+            setattr(_pd, "HOST_POLY_MAX", old))
+        _pd.HOST_POLY_MAX = 1 << 20
 
     from gen_golden import build_fixture, build_mult_fixture
     gadget = build_mult_fixture() if name.startswith("mult") \

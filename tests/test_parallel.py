@@ -131,3 +131,34 @@ def test_mesh_cp_snark_bytes_equal_single_host():
         proof_mesh, ok_mesh = g._prove_once(gadget_dev, gens, tape_seed=11)
     assert ok_mesh
     assert serialize_snark(proof_mesh) == serialize_snark(proof_host)
+
+
+@pytest.mark.slow
+def test_mesh_cp_snark_mult_circuit_bytes_equal_single_host():
+    """The DOMINANT circuit sharded: a full-width (n=128) point-mult
+    CP-SNARK on the 8-device mesh, byte-equal to single-host (what
+    dryrun_multichip now exercises)."""
+    from vpin_tpu.gadgets.point_mult import point_mult_gadget
+    from vpin_tpu.snark import SNARKGens
+    from vpin_tpu.utils.bincode import serialize_snark
+    from vpin_tpu.curve.host_ec import E2_G_HOST, E2_ORDER
+    import __graft_entry__ as g
+
+    rng = random.Random(29)
+    ws, px, py = [], [], []
+    for _ in range(1):
+        ws.append(rng.randrange(1, 1 << 128))
+        P1 = rng.randrange(1, E2_ORDER) * E2_G_HOST
+        px.append(P1.x); py.append(P1.y)
+
+    gadget = point_mult_gadget(ws, px, py, device=True)
+    nc, nv, ni, nnz = gadget[5], gadget[6], gadget[7], gadget[8]
+    gens = SNARKGens(nc, nv, ni, nnz)
+    proof_host, ok_host = g._prove_once(gadget, gens, tape_seed=13)
+    assert ok_host
+
+    with use_mesh(_mesh8()):
+        gadget_dev = point_mult_gadget(ws, px, py, device=True)
+        proof_mesh, ok_mesh = g._prove_once(gadget_dev, gens, tape_seed=13)
+    assert ok_mesh
+    assert serialize_snark(proof_mesh) == serialize_snark(proof_host)

@@ -179,6 +179,8 @@ def cmd_bsgs(args):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="vpin-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

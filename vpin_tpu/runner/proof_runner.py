@@ -204,10 +204,15 @@ def prove_point_mult(weights, px, py, n_bits=128, tape_seed=None,
 
 
 def prove_tag_dir(dir_path: str, n_bits=128, tape_seed=None,
-                  skip_mult=False, full_snark=None) -> Tuple[int, int, int]:
-    """`cargo run -- <tag>` equivalent over a rust_files/<tag> directory."""
+                  skip_mult=False, full_snark=None,
+                  ckpt_dir=None) -> Tuple[int, int, int]:
+    """`cargo run -- <tag>` equivalent over a rust_files/<tag> directory.
+    ckpt_dir: base directory for intra-proof checkpoints (<base>/add and
+    <base>/mult); long layer proofs resume after a kill."""
     stats_add = prove_point_add(*load_point_add_json(dir_path),
-                                tape_seed=tape_seed, full_snark=full_snark)
+                                tape_seed=tape_seed, full_snark=full_snark,
+                                ckpt_dir=(os.path.join(ckpt_dir, "add")
+                                          if ckpt_dir else None))
     print("")
     if skip_mult or not os.path.exists(
             os.path.join(dir_path, "pointMult", "weight.json")):
@@ -223,7 +228,10 @@ def prove_tag_dir(dir_path: str, n_bits=128, tape_seed=None,
         else:
             stats_mult = prove_point_mult(weights, px, py, n_bits=n_bits,
                                           tape_seed=tape_seed,
-                                          full_snark=full_snark)
+                                          full_snark=full_snark,
+                                          ckpt_dir=(os.path.join(ckpt_dir,
+                                                                 "mult")
+                                                    if ckpt_dir else None))
 
     total = (stats_add.size_bytes + stats_mult.size_bytes,
              stats_add.gen_ms + stats_mult.gen_ms,

@@ -165,9 +165,10 @@ class PolyEvalProof:
         lnv, rnv = factored_lens(len(r))
         L_vec = _eq_half(r[:lnv])
         R_vec = _eq_half(r[lnv:])
-        # C_LZ enters the transcript (as Cx)
-        C_pts = decompress_many(list(comm.C))
-        C_LZ = msm_host(L_vec, C_pts).compress()
+        # C_LZ enters the transcript (as Cx).  Wide commitments (SPARK's
+        # comb_ops has 2^10..2^15 rows) decode AND fold on device — the
+        # host Straus MSM here was the verify-time bottleneck.
+        C_LZ = _fold_commitment_rows(list(comm.C), L_vec)
         ok = self.proof.verify(len(R_vec), gens.gens, transcript,
                                R_vec, C_LZ, C_Zr, acc=acc)
         if not ok:
@@ -177,6 +178,26 @@ class PolyEvalProof:
     def size(self) -> int:
         b = self.proof.bullet
         return (2 * (VEC_LEN_PREFIX + 32 * len(b.L_vec)) + 4 * 32)
+
+
+#: row commitments at or above this count decode+fold on device
+_DEV_FOLD_MIN = 256
+
+
+def _fold_commitment_rows(encs: List[bytes], L_vec: List[int]) -> bytes:
+    """C_LZ = sum_i L_vec[i] * decode(encs[i]), compressed.
+
+    Small commitments stay on the host; wide ones (SPARK comb_ops /
+    comb_mem, big witness polys) run a batched device decode + windowed
+    MSM — same bytes, orders of magnitude fewer host EC ops."""
+    if len(encs) < _DEV_FOLD_MIN:
+        return msm_host(L_vec, decompress_many(encs)).compress()
+    from ..curve.ristretto import RISTRETTO
+    from ..curve.msm import host_digits, msm_oneshot
+    import jax.numpy as _jnp
+    pts = RISTRETTO.decode_bytes([bytes(e) for e in encs])
+    out = msm_oneshot(RISTRETTO, pts, _jnp.asarray(host_digits(L_vec)))
+    return RPoint.from_dev(out).compress()
 
 
 @functools.lru_cache(maxsize=None)
