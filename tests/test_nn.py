@@ -50,6 +50,7 @@ def test_bsgs_exact_multiple(table):
     assert got == vals
 
 
+@pytest.mark.slow  # XLA-CPU compile-bound (~5-15 min on 2-core hosts)
 def test_conv_rlc_and_witness_counts(table, keypair):
     n = 4
     img = np.array([[RNG.randrange(0, 50) for _ in range(n)] for _ in range(n)])
@@ -77,6 +78,7 @@ def test_conv_rlc_and_witness_counts(table, keypair):
             assert int(got[i][j]) == want
 
 
+@pytest.mark.slow  # XLA-CPU compile-bound (~5-15 min on 2-core hosts)
 def test_pool_and_fc(table, keypair):
     img = np.array([[RNG.randrange(0, 30) for _ in range(4)] for _ in range(4)])
     ct = encrypt_batch(img, keypair, random.Random(4))
