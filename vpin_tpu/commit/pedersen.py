@@ -176,18 +176,42 @@ def hyrax_commit_host(Z_ints: Sequence[int], blinds: List[int],
             for i in range(Lr)]
 
 
+#: bound on scalars converted to digits per chunk: the (rows, R, 32)
+#: int32 digit temp pads 4x on TPU (32 -> 128 lanes), so one full-table
+#: conversion at SPARK-encode scale (2^24+ scalars) would need 16+ GB
+HYRAX_DIGIT_CHUNK = 1 << 19
+
+
 def hyrax_commit(Z_mont: jnp.ndarray, blinds: List[int],
                  gens_n: MultiCommitGens) -> PointE:
     """Row commitments of Z viewed as an (L, R) matrix: one table-MSM per
-    row, all rows batched into a single device kernel (reference
-    commit_inner) and sharded over the active mesh."""
+    row, rows batched into device kernels (reference commit_inner),
+    sharded over the active mesh, and STREAMED in row chunks so the
+    digit-conversion temps stay bounded at any table size."""
     Lr = len(blinds)
     n = Z_mont.shape[0]
     Rsz = n // Lr
     assert Lr * Rsz == n and gens_n.n == Rsz
-    digits = digits_from_mont(Z_mont).reshape(Lr, Rsz, 32)
-    bdig = jnp.asarray(host_digits(blinds))[:, None, :]   # (L, 1, 32)
-    return gens_n.Gh_msm.msm(jnp.concatenate([digits, bdig], axis=1))
+    bdig_all = np.asarray(host_digits(blinds))
+
+    rp = 1
+    while rp * 2 * Rsz <= HYRAX_DIGIT_CHUNK and rp * 2 <= Lr:
+        rp *= 2
+    if Lr <= rp:
+        digits = digits_from_mont(Z_mont).reshape(Lr, Rsz, 32)
+        bdig = jnp.asarray(bdig_all)[:, None, :]          # (L, 1, 32)
+        return gens_n.Gh_msm.msm(jnp.concatenate([digits, bdig], axis=1))
+
+    chunks = []
+    for lo in range(0, Lr, rp):
+        hi = min(lo + rp, Lr)
+        digs = digits_from_mont(Z_mont[lo * Rsz:hi * Rsz]) \
+            .reshape(hi - lo, Rsz, 32)
+        bd = jnp.asarray(bdig_all[lo:hi])[:, None, :]
+        chunks.append(gens_n.Gh_msm.msm(
+            jnp.concatenate([digs, bd], axis=1)))
+    return PointE(*(jnp.concatenate([c[i] for c in chunks], axis=0)
+                    for i in range(4)))
 
 
 def msm_points(scalars: List[int], points) -> PointE:

@@ -95,9 +95,11 @@ def _mul_rows(a, b, out_limbs):
 
 
 def _mont_mul_kernel(a_ref, b_ref, n_ref, nprime_ref, ncomp_ref, out_ref):
-    # (TILE, 16) -> (16, TILE): limbs on sublanes, batch on lanes.
-    a = a_ref[:].T
-    b = b_ref[:].T
+    # operands arrive as (16, TILE): limbs on sublanes, batch on lanes —
+    # a (n, 16) minor dim would make XLA pad every operand copy 16->128
+    # lanes (8x HBM per program temp; see pallas_ec.py)
+    a = a_ref[:]
+    b = b_ref[:]
     N = jnp.broadcast_to(n_ref[:].reshape(N_LIMBS, 1), a.shape)
     NP = jnp.broadcast_to(nprime_ref[:].reshape(N_LIMBS, 1), a.shape)
     NC = jnp.broadcast_to(ncomp_ref[:].reshape(N_LIMBS, 1), a.shape)
@@ -111,7 +113,7 @@ def _mont_mul_kernel(a_ref, b_ref, n_ref, nprime_ref, ncomp_ref, out_ref):
     hi = S[N_LIMBS:]                                # (16, T) in [0, 2N)
     t, carry = _carry_lookahead_rows(hi + NC)
     res = jnp.where((carry > 0)[None, :], t, hi)
-    out_ref[:] = res.T
+    out_ref[:] = res
 
 
 @functools.lru_cache(maxsize=None)
@@ -124,15 +126,15 @@ def _mont_mul_call(modulus: int, nprime: int, interpret: bool):
 
     @jax.jit
     def run(a, b):
-        n = a.shape[0]
+        n = a.shape[1]
         grid = (n // TILE,)
-        spec = pl.BlockSpec((TILE, N_LIMBS), lambda i: (i, 0),
+        spec = pl.BlockSpec((N_LIMBS, TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((N_LIMBS,), lambda i: (0,),
                              memory_space=pltpu.VMEM)
         return pl.pallas_call(
             _mont_mul_kernel,
-            out_shape=jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((N_LIMBS, n), jnp.uint32),
             grid=grid,
             in_specs=[spec, spec, cspec, cspec, cspec],
             out_specs=spec,
@@ -145,17 +147,18 @@ def _mont_mul_call(modulus: int, nprime: int, interpret: bool):
 def mont_mul_pallas(field, a, b, interpret: bool | None = None):
     """Montgomery product via the fused kernel.  a, b: (..., 16) uint32
     strict limbs in Montgomery form, broadcastable batch shapes; the
-    batch is flattened and padded to a TILE multiple."""
+    batch is flattened, transposed to the (limb, batch) rows layout and
+    padded to a TILE multiple."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     shape = jnp.broadcast_shapes(a.shape, b.shape)
-    a = jnp.broadcast_to(a, shape).reshape(-1, N_LIMBS)
-    b = jnp.broadcast_to(b, shape).reshape(-1, N_LIMBS)
-    n = a.shape[0]
+    a = jnp.broadcast_to(a, shape).reshape(-1, N_LIMBS).T
+    b = jnp.broadcast_to(b, shape).reshape(-1, N_LIMBS).T
+    n = a.shape[1]
     n_pad = -(-n // TILE) * TILE
     if n_pad != n:
-        pad = ((0, n_pad - n), (0, 0))
+        pad = ((0, 0), (0, n_pad - n))
         a = jnp.pad(a, pad)
         b = jnp.pad(b, pad)
     out = _mont_mul_call(field.modulus, field.nprime_int, interpret)(a, b)
-    return out[:n].reshape(shape)
+    return out.T[:n].reshape(shape)

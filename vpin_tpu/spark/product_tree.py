@@ -100,23 +100,25 @@ def _ints(arr) -> List[int]:
 _COMPACT_FACTOR = 16
 
 
+#: bound on K * chunk elements per fused round computation — big fused
+#: (K, n, 16) HLO temps get 8x lane padding on TPU (see sumcheck.py)
+_TREE_CHUNK_ELEMS = 1 << 18
+
+
+def _tree_chunk(K: int, n_phys: int) -> int:
+    C = max(_TREE_CHUNK_ELEMS // max(K, 1), 1)
+    c = 1
+    while c * 2 <= C:
+        c *= 2
+    return min(c, max(n_phys // 2, 1))
+
+
 @functools.lru_cache(maxsize=None)
 def _masked_round3_kernel(K: int, n_phys: int):
-    def run(half, A, B, C):
-        idx = jnp.arange(n_phys)
-        m = (idx < half)[None, :, None]
+    def comb(a, b, c):
+        return FQ.mul(FQ.mul(a, b), c)
 
-        def mlo(t):
-            return jnp.where(m, t, jnp.uint32(0))
-
-        def mhi(t):
-            return jnp.where(m, jnp.roll(t, -half, axis=1), jnp.uint32(0))
-
-        halves = [(mlo(t), mhi(t)) for t in (A, B, C)]
-
-        def comb(a, b, c):
-            return FQ.mul(FQ.mul(a, b), c)
-
+    def evals(halves):
         e0 = FQ.sum_reduce(comb(*(lo for lo, _ in halves)), axis=1)
         b2 = [FQ.sub(FQ.add(hi, hi), lo) for lo, hi in halves]
         e2 = FQ.sum_reduce(comb(*b2), axis=1)
@@ -124,20 +126,75 @@ def _masked_round3_kernel(K: int, n_phys: int):
         e3 = FQ.sum_reduce(comb(*b3), axis=1)
         return e0, e2, e3
 
+    C = _tree_chunk(K, n_phys)
+
+    def run(half, A, B, Cc):
+        if n_phys // 2 <= C:
+            idx = jnp.arange(n_phys)
+            m = (idx < half)[None, :, None]
+            halves = [(jnp.where(m, t, jnp.uint32(0)),
+                       jnp.where(m, jnp.roll(t, -half, axis=1),
+                                 jnp.uint32(0))) for t in (A, B, Cc)]
+            return evals(halves)
+
+        k = (n_phys // 2) // C
+        starts = jnp.arange(k) * C
+
+        def body(carry, s):
+            m = ((s + jnp.arange(C)) < half)[None, :, None]
+            halves = [(jnp.where(m, jax.lax.dynamic_slice_in_dim(
+                          t, s, C, axis=1), jnp.uint32(0)),
+                       jnp.where(m, jax.lax.dynamic_slice_in_dim(
+                          t, s + half, C, axis=1), jnp.uint32(0)))
+                      for t in (A, B, Cc)]
+            e = evals(halves)
+            return tuple(FQ.add(x, y) for x, y in zip(carry, e)), None
+
+        init = tuple(FQ.zeros((K,)) for _ in range(3))
+        out, _ = jax.lax.scan(body, init, starts)
+        return out
+
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=None)
 def _masked_bind3_kernel(K: int, n_phys: int):
-    def run(half, r_mont, A, B, C):
-        idx = jnp.arange(n_phys)
-        m = (idx < half)[None, :, None]
+    C = _tree_chunk(K, n_phys)
+
+    def run(half, r_mont, A, B, Cc):
+        if n_phys // 2 <= C:
+            idx = jnp.arange(n_phys)
+            m = (idx < half)[None, :, None]
+            outs = []
+            for t in (A, B, Cc):
+                hi = jnp.roll(t, -half, axis=1)
+                b = FQ.add(t, FQ.mul(jnp.broadcast_to(r_mont, t.shape),
+                                     FQ.sub(hi, t)))
+                outs.append(jnp.where(m, b, jnp.uint32(0)))
+            return tuple(outs)
+
+        k = (n_phys // 2) // C
+        starts = jnp.arange(k) * C
+
+        def body(_, s):
+            m = ((s + jnp.arange(C)) < half)[None, :, None]
+            outs = []
+            for t in (A, B, Cc):
+                lo = jax.lax.dynamic_slice_in_dim(t, s, C, axis=1)
+                hi = jax.lax.dynamic_slice_in_dim(t, s + half, C, axis=1)
+                b = FQ.add(lo, FQ.mul(jnp.broadcast_to(r_mont, lo.shape),
+                                      FQ.sub(hi, lo)))
+                outs.append(jnp.where(m, b, jnp.uint32(0)))
+            return 0, tuple(outs)
+
+        _, chunks = jax.lax.scan(body, 0, starts)   # each (k, K, C, 16)
         outs = []
-        for t in (A, B, C):
-            hi = jnp.roll(t, -half, axis=1)
-            b = FQ.add(t, FQ.mul(jnp.broadcast_to(r_mont, t.shape),
-                                 FQ.sub(hi, t)))
-            outs.append(jnp.where(m, b, jnp.uint32(0)))
+        zero_top = jnp.zeros((K, n_phys - k * C, 16), jnp.uint32)
+        for c in chunks:
+            full = jnp.concatenate(
+                [jnp.moveaxis(c, 0, 1).reshape(K, k * C, 16), zero_top],
+                axis=1)
+            outs.append(full)
         return tuple(outs)
 
     return jax.jit(run)

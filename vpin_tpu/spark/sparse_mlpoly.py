@@ -309,12 +309,33 @@ class DerefsEvalProof:
 # ----------------------------------------------------------------------
 
 @jax.jit
-def _hash_leaves(addr, val, ts, r_hash_dev, r_hash_sqr_dev, r_multiset_dev):
-    """hash(addr, val, ts) - r_multiset, elementwise on (n, 16) tables."""
+def _hash_leaves_jit(addr, val, ts, r_hash_dev, r_hash_sqr_dev,
+                     r_multiset_dev):
     h = FQ.add(FQ.add(FQ.mul(ts, jnp.broadcast_to(r_hash_sqr_dev, ts.shape)),
                       FQ.mul(val, jnp.broadcast_to(r_hash_dev, val.shape))),
                addr)
     return FQ.sub(h, jnp.broadcast_to(r_multiset_dev, h.shape))
+
+
+#: elements per hashed-leaf kernel call (large fused (n, 16) jnp temps
+#: pad 8x on TPU — see sumcheck.py chunked round kernels)
+_LEAF_CHUNK = 1 << 18
+
+
+def _hash_leaves(addr, val, ts, r_hash_dev, r_hash_sqr_dev, r_multiset_dev):
+    """hash(addr, val, ts) - r_multiset, elementwise on (n, 16) tables,
+    streamed in chunks at SPARK-encode scale."""
+    n = addr.shape[0]
+    if n <= _LEAF_CHUNK:
+        return _hash_leaves_jit(addr, val, ts, r_hash_dev, r_hash_sqr_dev,
+                                r_multiset_dev)
+    outs = []
+    for lo in range(0, n, _LEAF_CHUNK):
+        hi = min(lo + _LEAF_CHUNK, n)
+        outs.append(_hash_leaves_jit(addr[lo:hi], val[lo:hi], ts[lo:hi],
+                                     r_hash_dev, r_hash_sqr_dev,
+                                     r_multiset_dev))
+    return jnp.concatenate(outs, axis=0)
 
 
 class Layers:

@@ -255,30 +255,82 @@ _COMPACT_FACTOR = 16
 @functools.lru_cache(maxsize=None)
 def _masked_round_kernel(kind: str, n_phys: int, n_tables: int):
     partial_fn = _ROUND_PARTIALS[kind]
+    n_evals = 2 if n_tables == 2 else 3
+    C = min(ROUND_CHUNK, max(n_phys // 2, 1))
 
     def run(half, *tables):
-        idx = jnp.arange(n_phys)
-        m = (idx < half)[:, None]
-        los = tuple(jnp.where(m, t, jnp.uint32(0)) for t in tables)
-        his = tuple(jnp.where(m, jnp.roll(t, -half, axis=0), jnp.uint32(0))
-                    for t in tables)
-        return jnp.stack(partial_fn(los, his), axis=0)
+        if n_phys // 2 <= C:
+            idx = jnp.arange(n_phys)
+            m = (idx < half)[:, None]
+            los = tuple(jnp.where(m, t, jnp.uint32(0)) for t in tables)
+            his = tuple(jnp.where(m, jnp.roll(t, -half, axis=0),
+                                  jnp.uint32(0)) for t in tables)
+            return jnp.stack(partial_fn(los, his), axis=0)
+
+        # stream in C-sized chunks: big fused round computations otherwise
+        # materialize (n_phys, 16) HLO temps that XLA pads 8x (16 -> 128
+        # lanes), OOMing 2^20-class tables.  lo chunk = t[s : s+C], hi
+        # chunk = t[s+half : s+half+C] (safe: s <= n_phys/2 - C and
+        # half <= n_phys/2, so s+half+C <= n_phys); chunks beyond `half`
+        # are fully masked and contribute zero.
+        k = (n_phys // 2) // C
+        starts = jnp.arange(k) * C
+
+        def body(carry, s):
+            m = ((s + jnp.arange(C)) < half)[:, None]
+            los = tuple(jnp.where(
+                m, jax.lax.dynamic_slice_in_dim(t, s, C, axis=0),
+                jnp.uint32(0)) for t in tables)
+            his = tuple(jnp.where(
+                m, jax.lax.dynamic_slice_in_dim(t, s + half, C, axis=0),
+                jnp.uint32(0)) for t in tables)
+            evs = partial_fn(los, his)
+            return tuple(FQ.add(c, e) for c, e in zip(carry, evs)), None
+
+        init = tuple(FQ.zeros(()) for _ in range(n_evals))
+        out, _ = jax.lax.scan(body, init, starts)
+        return jnp.stack(out, axis=0)
 
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=None)
 def _masked_bind_kernel(n_phys: int, n_tables: int):
+    C = min(ROUND_CHUNK, max(n_phys // 2, 1))
+
     def run(half, r_mont, *tables):
-        idx = jnp.arange(n_phys)
-        m = (idx < half)[:, None]
-        outs = []
-        for t in tables:
-            hi = jnp.roll(t, -half, axis=0)
-            b = FQ.add(t, FQ.mul(jnp.broadcast_to(r_mont, t.shape),
-                                 FQ.sub(hi, t)))
-            outs.append(jnp.where(m, b, jnp.uint32(0)))
-        return tuple(outs)
+        if n_phys // 2 <= C:
+            idx = jnp.arange(n_phys)
+            m = (idx < half)[:, None]
+            outs = []
+            for t in tables:
+                hi = jnp.roll(t, -half, axis=0)
+                b = FQ.add(t, FQ.mul(jnp.broadcast_to(r_mont, t.shape),
+                                     FQ.sub(hi, t)))
+                outs.append(jnp.where(m, b, jnp.uint32(0)))
+            return tuple(outs)
+
+        # chunked bind (same temp-padding rationale as the round kernel);
+        # the bound live region is [0, half) subset [0, n_phys/2), so the
+        # top half of the output is always zero.
+        k = (n_phys // 2) // C
+        starts = jnp.arange(k) * C
+
+        def body(_, s):
+            m = ((s + jnp.arange(C)) < half)[:, None]
+            outs = []
+            for t in tables:
+                lo = jax.lax.dynamic_slice_in_dim(t, s, C, axis=0)
+                hi = jax.lax.dynamic_slice_in_dim(t, s + half, C, axis=0)
+                b = FQ.add(lo, FQ.mul(jnp.broadcast_to(r_mont, lo.shape),
+                                      FQ.sub(hi, lo)))
+                outs.append(jnp.where(m, b, jnp.uint32(0)))
+            return 0, tuple(outs)
+
+        _, chunks = jax.lax.scan(body, 0, starts)   # each (k, C, 16)
+        zero_top = jnp.zeros((n_phys - k * C, 16), jnp.uint32)
+        return tuple(jnp.concatenate(
+            [c.reshape(k * C, 16), zero_top], axis=0) for c in chunks)
 
     return jax.jit(run)
 
