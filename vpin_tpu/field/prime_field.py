@@ -305,14 +305,41 @@ class PrimeField:
 
     batch_inv = inv
 
+    #: elements per reduction chunk: larger single-pass reductions
+    #: materialize (n, 16) HLO temps that TPU pads 8x (16 -> 128 lanes)
+    SUM_CHUNK = 1 << 19
+
     def sum_reduce(self, a, axis: int = 0):
         """Log-depth field sum along a batch axis (shift-and-add with a
-        fixed shape per level; one tiny lax.scan body)."""
+        fixed shape per level; one tiny lax.scan body).  Large reductions
+        stream in SUM_CHUNK blocks — field addition is exact mod N, so
+        any association yields identical canonical limbs."""
         if axis != 0:
             a = jnp.moveaxis(a, axis, 0)
         n = a.shape[0]
         if n == 1:
             return a[0]
+        inner = int(np.prod(a.shape[1:-1], dtype=int))
+        if n * max(inner, 1) > self.SUM_CHUNK and inner <= self.SUM_CHUNK:
+            C = max(self.SUM_CHUNK // max(inner, 1), 2)
+            rp = 1
+            while rp * 2 <= C:
+                rp *= 2
+            if n > rp:
+                k = -(-n // rp)
+                pad = k * rp - n
+                if pad:
+                    a = jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)],
+                        axis=0)
+                resh = a.reshape((k, rp) + a.shape[1:])
+
+                def body(carry, x):
+                    return self.add(carry, self.sum_reduce(x)), None
+
+                acc, _ = jax.lax.scan(
+                    body, self.zeros(a.shape[1:-1]), resh)
+                return acc
         levels = int(np.ceil(np.log2(n)))
         pad = jnp.zeros_like(a)
         strides = jnp.asarray([1 << t for t in range(levels)], jnp.int32)

@@ -218,7 +218,21 @@ class DensePoly:
                         for i in range(L_size)) % L_MODULUS
                     for j in range(R_size)]
         M = self.Z.reshape(L_size, R_size, 16)
-        return FQ.sum_reduce(FQ.mul(L_vec[:, None, :], M), axis=0)
+        # stream row chunks: the full (L, R, 16) product is 8x-padded as
+        # an HLO temp on TPU (16 -> 128 lanes), OOMing at SPARK scale
+        chunk = max(1, (1 << 19) // R_size)
+        rp = 1
+        while rp * 2 <= chunk:
+            rp *= 2
+        if L_size <= rp:
+            return FQ.sum_reduce(FQ.mul(L_vec[:, None, :], M), axis=0)
+        acc = FQ.zeros((R_size,))
+        for lo in range(0, L_size, rp):
+            hi = min(lo + rp, L_size)
+            part = FQ.sum_reduce(
+                FQ.mul(L_vec[lo:hi, None, :], M[lo:hi]), axis=0)
+            acc = FQ.add(acc, part)
+        return acc
 
     def index(self, i: int) -> int:
         if self.is_host:
