@@ -11,6 +11,7 @@ SumcheckInstanceProof::prove_cubic_batched bit-for-bit.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -224,6 +225,14 @@ class _MaskedTriple:
         return [t[:, 0] for t in self.t]
 
 
+#: above this many elements the stacked circuits recompute layers from
+#: the leaves on demand instead of storing the whole layer stack — the
+#: stack is 2x the leaves in HBM, and at LeNet-layer scale (12 circuits
+#: x 2^21 leaves) that is the difference between fitting one chip or not.
+#: Recompute is cheap: layer i costs ~2*K*n muls, trivial at device rates.
+LOW_MEMORY_ELEMS = int(os.environ.get("VPIN_TREE_LOW_MEM", str(1 << 24)))
+
+
 class BatchedProductCircuits:
     """K product circuits over equal-length inputs, layers stacked."""
 
@@ -233,24 +242,55 @@ class BatchedProductCircuits:
         self.host = _is_host(inputs)
         K, n = inputs.shape[0], inputs.shape[1]
         self.K, self.n = K, n
+        self.num_layers = n.bit_length() - 1
+        self.low_memory = (not self.host) and K * n > LOW_MEMORY_ELEMS
+        if self.low_memory:
+            self.inputs = inputs
+            self.left_layers = _LazyLayers(self, 0)
+            self.right_layers = _LazyLayers(self, 1)
+            return
         self.left_layers: List = []
         self.right_layers: List = []
         left, right = inputs[:, : n // 2], inputs[:, n // 2:]
         self.left_layers.append(left)
         self.right_layers.append(right)
-        num_layers = n.bit_length() - 1
         step = _layer_step_h if self.host else _layer_step
-        for _ in range(num_layers - 1):
+        for _ in range(self.num_layers - 1):
             left, right = step(self.left_layers[-1], self.right_layers[-1])
             self.left_layers.append(left)
             self.right_layers.append(right)
 
+    def _layer(self, i: int):
+        """(left, right) of layer i, recomputed from the leaves."""
+        n = self.n
+        left, right = self.inputs[:, : n // 2], self.inputs[:, n // 2:]
+        for _ in range(i):
+            left, right = _layer_step(left, right)
+        return left, right
+
     def evaluate(self) -> List[int]:
+        if self.low_memory:
+            left, right = self._layer(self.num_layers - 1)
+            return _ints(FQ.mul(left[:, 0], right[:, 0]))
         if self.host:
             return [int(l * r % L) for l, r in
                     zip(self.left_layers[-1][:, 0], self.right_layers[-1][:, 0])]
         prod = FQ.mul(self.left_layers[-1][:, 0], self.right_layers[-1][:, 0])
         return _ints(prod)
+
+
+class _LazyLayers:
+    """List-like view over recomputed layers (side=0 left, 1 right)."""
+
+    def __init__(self, circ: "BatchedProductCircuits", side: int):
+        self.circ = circ
+        self.side = side
+
+    def __len__(self):
+        return self.circ.num_layers
+
+    def __getitem__(self, i: int):
+        return self.circ._layer(i)[self.side]
 
 
 @dataclass

@@ -600,6 +600,10 @@ class ProductLayerProof:
         ops_inputs = _stk(
             row_layers.read_leaves + row_layers.write_leaves
             + col_layers.read_leaves + col_layers.write_leaves, axis=0)
+        # the stacks above are copies: release the per-list leaves so the
+        # SPARK working set at LeNet-layer scale stays inside HBM
+        row_layers.read_leaves = row_layers.write_leaves = None
+        col_layers.read_leaves = col_layers.write_leaves = None
         ops_circ = BatchedProductCircuits(ops_inputs)
         ops_evals = ops_circ.evaluate()
         row_eval_read = ops_evals[0:B]
@@ -610,6 +614,8 @@ class ProductLayerProof:
         mem_inputs = _stk(
             [row_layers.init_leaves, row_layers.audit_leaves,
              col_layers.init_leaves, col_layers.audit_leaves], axis=0)
+        row_layers.init_leaves = row_layers.audit_leaves = None
+        col_layers.init_leaves = col_layers.audit_leaves = None
         mem_circ = BatchedProductCircuits(mem_inputs)
         mem_evals = mem_circ.evaluate()
         row_eval_init, row_eval_audit, col_eval_init, col_eval_audit = mem_evals
