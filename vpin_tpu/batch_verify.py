@@ -119,7 +119,8 @@ class VerifyAccumulator:
 
         if not points:
             return True          # every equation cancelled identically
-        if len(points) <= HOST_MSM_MAX:
+        from .utils.hostonly import host_only
+        if len(points) <= HOST_MSM_MAX or host_only():
             return H.msm(scalars, points).is_identity()
         from .curve.msm import host_digits, msm_oneshot
         from .curve.rpoint import pointe_from_host

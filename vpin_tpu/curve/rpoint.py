@@ -118,7 +118,8 @@ def msm_host(scalars: Sequence[int], points: Sequence[RPoint]) -> RPoint:
     assert len(scalars) == len(points)
     if not points:
         return RPoint.identity()
-    if len(points) <= HOST_MSM_MAX:
+    from ..utils.hostonly import host_only
+    if len(points) <= HOST_MSM_MAX or host_only():
         return RPoint(H.msm(list(scalars), [q.h for q in points]))
     from .msm import host_digits, msm_oneshot
     stack = rpoint_stack(points)

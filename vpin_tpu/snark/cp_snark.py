@@ -275,7 +275,18 @@ def cp_snark_verify(proof: CPSnarkProof, inst: R1CSInstance, inputs: List[int],
                     comm=None) -> bool:
     """my_lib_verify (commit_test.rs:498-544).  In transparent mode
     (comm None) the verifier evaluates the public matrices directly.
-    All group equations defer into one batched final check."""
+    All group equations defer into one batched final check, and the
+    whole verifier runs host-side (utils.hostonly): no XLA compiles or
+    device round-trips, matching the reference's CPU verifier split."""
+    from ..batch_verify import VerifyAccumulator
+    from ..utils.hostonly import host_verify
+    with host_verify():
+        return _cp_snark_verify_host(proof, inst, inputs, transcript, gens,
+                                     comm_para, comm_input, comm)
+
+
+def _cp_snark_verify_host(proof, inst, inputs, transcript, gens,
+                          comm_para, comm_input, comm):
     from ..batch_verify import VerifyAccumulator
     acc = VerifyAccumulator()
     transcript.append_protocol_name(SNARK_PROTOCOL)

@@ -67,6 +67,11 @@ class NIZK:
     @verify_guard(failure=False)
     def verify(self, inst: R1CSInstance, inputs: List[int],
                transcript: Transcript, gens: NIZKGens) -> bool:
+        from ..utils.hostonly import host_verify
+        with host_verify():
+            return self._verify_host(inst, inputs, transcript, gens)
+
+    def _verify_host(self, inst, inputs, transcript, gens) -> bool:
         transcript.append_protocol_name(NIZK_PROTOCOL)
         transcript.append_message(b"R1CSInstanceDigest", instance_digest(inst))
         claimed_rx, claimed_ry = self.r

@@ -190,7 +190,8 @@ def _fold_commitment_rows(encs: List[bytes], L_vec: List[int]) -> bytes:
     Small commitments stay on the host; wide ones (SPARK comb_ops /
     comb_mem, big witness polys) run a batched device decode + windowed
     MSM — same bytes, orders of magnitude fewer host EC ops."""
-    if len(encs) < _DEV_FOLD_MIN:
+    from ..utils.hostonly import host_only
+    if len(encs) < _DEV_FOLD_MIN or host_only():
         return msm_host(L_vec, decompress_many(encs)).compress()
     from ..curve.ristretto import RISTRETTO
     from ..curve.msm import host_digits, msm_oneshot

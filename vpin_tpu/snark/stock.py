@@ -98,6 +98,11 @@ class SNARK:
     @verify_guard(failure=False)
     def verify(self, comm, inst: R1CSInstance, inputs: List[int],
                transcript: Transcript, gens: SNARKGens) -> bool:
+        from ..utils.hostonly import host_verify
+        with host_verify():
+            return self._verify_host(comm, inst, inputs, transcript, gens)
+
+    def _verify_host(self, comm, inst, inputs, transcript, gens) -> bool:
         from ..batch_verify import VerifyAccumulator
         acc = VerifyAccumulator()
         transcript.append_protocol_name(SNARK_PROTOCOL)
